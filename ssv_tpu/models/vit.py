@@ -1,0 +1,154 @@
+"""Vision Transformer with the reference's (unusual) embedding scheme.
+
+Parity notes against reference networks/vit.py:
+  * patchify = non-overlapping patches, flattened channels-last
+    (vit.py:99,105 uses nn.Unfold; here a reshape/transpose — same tensor).
+  * a learned CLS token in *patch-pixel* space is prepended (vit.py:80-81).
+  * positional embeddings are **concatenated on the feature dim**, not added
+    (vit.py:82), with two separate tables for global vs local patch counts
+    (vit.py:69-77) — which table is used is decided by the (static) sequence
+    length of the input.
+  * each transformer sublayer computes its branch from the *un-normalized*
+    input and adds the LayerNorm of the input as the "residual"
+    (vit.py:24-31,44-46). Faithfully reproduced — it changes training
+    dynamics, so it is part of capability parity.
+  * forward returns the CLS embedding; per-layer attention maps on request
+    (vit.py:114-117).
+
+TPU notes: all matmuls run in bf16 on the MXU with f32 accumulation
+(`preferred_element_type` via flax dtype handling); sequence lengths are tiny
+(<= 65 tokens) so attention is a plain fused softmax(QK^T)V — no need for
+custom kernels at this scale.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class SelfAttention(nn.Module):
+    hidden_dim: int
+    num_heads: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        b, n, _ = x.shape
+        head = self.hidden_dim // self.num_heads
+        dense = lambda name: nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
+                                      param_dtype=jnp.float32, name=name)
+        # Reference quirk: LayerNorm(x) is the residual, raw x feeds QKV.
+        identity = nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
+        q = dense("query")(x).reshape(b, n, self.num_heads, head).transpose(0, 2, 1, 3)
+        k = dense("key")(x).reshape(b, n, self.num_heads, head).transpose(0, 2, 1, 3)
+        v = dense("value")(x).reshape(b, n, self.num_heads, head).transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhid,bhjd->bhij", q, k,
+                            preferred_element_type=jnp.float32) / jnp.sqrt(head)
+        probs = nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhij,bhjd->bhid", probs.astype(self.dtype), v,
+                         preferred_element_type=jnp.float32)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, self.hidden_dim)
+        return out + identity, probs
+
+
+class FeedForward(nn.Module):
+    hidden_dim: int
+    intermediate_dim: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        identity = nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
+        y = nn.Dense(self.intermediate_dim, dtype=self.dtype, param_dtype=jnp.float32)(x)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32)(y)
+        return y + identity
+
+
+class TransformerLayer(nn.Module):
+    hidden_dim: int
+    intermediate_dim: int
+    num_heads: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        y, probs = SelfAttention(self.hidden_dim, self.num_heads, self.dtype,
+                                 name="attention")(x)
+        y = FeedForward(self.hidden_dim, self.intermediate_dim, self.dtype,
+                        name="feedfwd")(y)
+        return y, probs
+
+
+def patchify(img: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/p * W/p, p*p*C), channel-major within a patch.
+
+    Matches torch nn.Unfold output ordering (c, py, px) per patch so weights
+    trained against either layout are interchangeable after a fixed permute.
+    """
+    b, h, w, c = img.shape
+    p = patch_size
+    x = img.reshape(b, h // p, p, w // p, p, c)
+    # -> (b, gh, gw, c, py, px), flattening (c, py, px) mirrors Unfold.
+    x = x.transpose(0, 1, 3, 5, 2, 4)
+    return x.reshape(b, (h // p) * (w // p), c * p * p)
+
+
+class TransformerEncoder(nn.Module):
+    """Config keys follow reference configs/dino.yaml `encoder` block."""
+
+    hidden_dim: int
+    embedding_dim: int
+    intermediate_dim: int
+    num_attention_heads: int
+    patch_size: int
+    num_encoder_layers: int
+    num_global_patches: int
+    num_local_patches: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, img, train: bool = True, return_attn: bool = False):
+        p = self.patch_size
+        input_dim = 3 * p * p
+        x = patchify(img, p)  # (b, n, 3p^2)
+        b, n, _ = x.shape
+
+        cls = self.param("cls_embedding", nn.initializers.normal(1.0), (1, 1, input_dim))
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, input_dim)), x], axis=1)
+
+        # Both tables are created unconditionally so the same param pytree
+        # serves global and local inputs (DINO runs both through one model).
+        pos_global = self.param("pos_embedding_global", nn.initializers.normal(1.0),
+                                (self.num_global_patches + 1, self.embedding_dim))
+        pos_local = self.param("pos_embedding_local", nn.initializers.normal(1.0),
+                               (self.num_local_patches + 1, self.embedding_dim))
+        if n == self.num_global_patches:
+            pos = pos_global
+        elif n == self.num_local_patches:
+            pos = pos_local
+        else:
+            raise ValueError(
+                f"Sequence of {n} patches matches neither global "
+                f"({self.num_global_patches}) nor local ({self.num_local_patches})")
+        # Reference quirk: positions are concatenated on the feature dim.
+        pos = jnp.broadcast_to(pos[None], (b, n + 1, self.embedding_dim))
+        x = jnp.concatenate([x, pos], axis=-1)
+
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="projection_fc")(x)
+
+        attn = {}
+        for i in range(self.num_encoder_layers):
+            x, probs = TransformerLayer(self.hidden_dim, self.intermediate_dim,
+                                        self.num_attention_heads, self.dtype,
+                                        name=f"layer_{i}")(x)
+            attn[f"layer_{i}"] = probs
+
+        cls_out = x[:, 0, :].astype(jnp.float32)
+        if return_attn:
+            return cls_out, attn
+        return cls_out
