@@ -4,9 +4,11 @@ reference trainer (e.g. simclr.py:12-19, dino.py:13-22), defined once."""
 from __future__ import annotations
 
 from . import resnet, vit
+from .tiny import TinyEncoder, TINY_DIM
 
 
 NETWORKS = {
+    "tiny": {"net": TinyEncoder, "dim": TINY_DIM},  # test/example backbone
     "resnet18": {"net": resnet.resnet18, "dim": 512},
     "resnet34": {"net": resnet.resnet34, "dim": 512},
     "resnet50": {"net": resnet.resnet50, "dim": 2048},

@@ -1,0 +1,82 @@
+"""BYOL (reference models/byol.py): online encoder+proj+pred vs EMA target
+encoder+proj, symmetric MSE on L2-normalized outputs.
+
+Parity notes:
+  * the loss is literally MSELoss on normalized embeddings (byol.py:89,
+    126-130) — equal to 2-2cos up to the 1/D MSE scaling; preserved.
+  * tau follows the cosine ramp tau_lower -> tau_upper over the *global*
+    step (the published recipe). The reference resets its ramp every epoch
+    (byol.py:77,192 — within-epoch step vs epochs*steps denominator), which
+    pins tau ~= tau_lower; set tau_upper == tau_lower to reproduce that.
+  * the target network is separately initialized (not copied), like
+    byol.py:70-71.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...models.heads import byol_mlp
+from ...models.registry import build_encoder
+from ...objectives import byol_mse
+from ...state.ema import ema_update
+from ...utils.schedules import cosine_ramp
+from ..base import Algorithm, DataInfo, TrainState, apply_eval, apply_train, init_module
+from .common import Tower
+
+
+class BYOL(Algorithm):
+    name = "byol"
+    batch_kind = "double"
+
+    def __init__(self, config, arch: str, data: DataInfo):
+        super().__init__(config, arch, data)
+        proj_dim = int(config["proj_dim"])
+        encoder, dim = build_encoder(arch, config.get("encoder"))
+        encoder_t, _ = build_encoder(arch, config.get("encoder"))
+        self.online = Tower(encoder=encoder, proj=byol_mlp(dim, proj_dim),
+                            pred=byol_mlp(proj_dim, proj_dim), norm_out=True)
+        self.target = Tower(encoder=encoder_t, proj=byol_mlp(dim, proj_dim),
+                            norm_out=True)
+        self.tau_lower = float(config.get("tau_lower", config.get("tau", 0.996)))
+        self.tau_upper = float(config.get("tau_upper", 1.0))
+        self.tx = self.make_tx()
+
+    def init_state(self, rng) -> TrainState:
+        k_o, k_t = jax.random.split(rng)
+        params, bstats = init_module(k_o, self.online, self.sample_image())
+        t_params, t_bstats = init_module(k_t, self.target, self.sample_image())
+        extra = {"target_params": t_params, "target_batch_stats": t_bstats}
+        return TrainState(jnp.zeros((), jnp.int32), params, bstats,
+                          self.tx.init(params), extra)
+
+    def _tau(self, step):
+        return cosine_ramp(step, self.total_steps, self.tau_lower, self.tau_upper)
+
+    def train_step(self, state, batch, key):
+        # target forward (no grad path; its own BN stats advance)
+        t1, t_bs = apply_train(self.target, state.extra["target_params"],
+                               state.extra["target_batch_stats"], batch["aug_1"])
+        t2, t_bs = apply_train(self.target, state.extra["target_params"],
+                               t_bs, batch["aug_2"])
+
+        def loss_fn(params):
+            o1, bs = apply_train(self.online, params, state.batch_stats, batch["aug_1"])
+            o2, bs = apply_train(self.online, params, bs, batch["aug_2"])
+            return byol_mse(o1, o2, t1, t2), bs
+
+        params, opt_state, loss, bstats = self.grad_step(state, loss_fn)
+
+        tau = self._tau(state.step)
+        online_sub = {"encoder": params["encoder"], "proj": params["proj"]}
+        t_params = ema_update(state.extra["target_params"], online_sub, tau)
+        new = state.replace(
+            step=state.step + 1, params=params, batch_stats=bstats,
+            opt_state=opt_state,
+            extra={"target_params": t_params, "target_batch_stats": t_bs})
+        return new, {"loss": loss, "tau": tau}
+
+    def embed(self, state, images):
+        # reference build_features uses the full online network (byol.py:103-118)
+        return apply_eval(self.online, state.params, state.batch_stats, images)

@@ -1,0 +1,141 @@
+"""DINO (reference models/dino.py): student/teacher towers (ViT or ResNet)
+with 3-layer GELU + weight-normed heads; multi-crop (2 global + 6 local)
+self-distillation with teacher centering.
+
+Schedule parity (all pure functions of the global step here):
+  * teacher temperature: linear warmup 0.04 -> 0.07 over 30 epochs
+    (dino.py:113-120);
+  * weight decay: cosine ramp 0.04 -> 0.4 per epoch (dino.py:122-127),
+    wired into the optimizer as a scheduled coupled decay;
+  * teacher EMA: per-EPOCH update with cosine lambda 0.996 -> 1.0
+    (dino.py:129-134,227) — implemented in `post_epoch`, matching the
+    reference's unusual per-epoch (not per-step) momentum teacher;
+  * center: per-step EMA (momentum 0.9) of teacher outputs, randn init
+    (dino.py:68,136-141);
+  * per-element gradient clamp +-gradient_clip (dino.py:75-79).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...models.heads import DinoHead
+from ...models.registry import build_encoder
+from ...objectives import dino_loss
+from ...state.ema import ema_update
+from ...utils.schedules import cosine_ramp, dino_teacher_temp
+from ..base import Algorithm, DataInfo, TrainState, apply_eval, apply_train, init_module
+from .common import Tower
+
+
+class DINO(Algorithm):
+    name = "dino"
+    batch_kind = "multicrop"
+
+    def __init__(self, config, arch: str, data: DataInfo):
+        super().__init__(config, arch, data)
+        head_cfg = dict(config["proj_head"])
+        self.proj_dim = int(head_cfg["proj_dim"])
+        enc_s, dim = build_encoder(arch, config.get("encoder"))
+        enc_t, _ = build_encoder(arch, config.get("encoder"))
+        self.student = Tower(encoder=enc_s,
+                             proj=DinoHead(int(head_cfg["hidden_dim"]), self.proj_dim))
+        self.teacher = Tower(encoder=enc_t,
+                             proj=DinoHead(int(head_cfg["hidden_dim"]), self.proj_dim))
+
+        self.temp_student = float(config.get("student_temp", 0.1))
+        self.temp_t_lower = float(config.get("teacher_temp_lower", 0.04))
+        self.temp_t_upper = float(config.get("teacher_temp_upper", 0.07))
+        self.temp_warmup_epochs = int(config.get("temp_warmup_epochs", 30))
+        self.center_m = float(config.get("center_momentum", 0.9))
+        self.lambda_lower = float(config.get("lambda_lower", 0.996))
+        self.lambda_upper = float(config.get("lambda_upper", 1.0))
+        self.wd_lower = float(config.get("weight_decay_lower", 0.04))
+        self.wd_upper = float(config.get("weight_decay_upper", 0.4))
+
+        mc = dict(config["data"]["multicrop_config"])
+        self.global_size = tuple(mc["global_size"])
+        self.local_size = tuple(mc["local_size"])
+
+        spe = data.steps_per_epoch
+
+        def wd_fn(step):
+            return cosine_ramp(step // spe, self.epochs, self.wd_lower, self.wd_upper)
+
+        self.tx = self.make_tx(weight_decay_fn=wd_fn,
+                               grad_clip=config.get("gradient_clip"))
+
+    def init_state(self, rng) -> TrainState:
+        k_s, k_t, k_c = jax.random.split(rng, 3)
+        g = jnp.zeros((2, *self.global_size, 3), jnp.float32)
+        params, bstats = init_module(k_s, self.student, g)
+        t_params, t_bstats = init_module(k_t, self.teacher, g)
+        # local-size forward once so any size-dependent params exist (ViT
+        # creates both pos tables unconditionally; ResNet has none).
+        extra = {
+            "teacher_params": t_params,
+            "teacher_batch_stats": t_bstats,
+            "center": jax.random.normal(k_c, (1, self.proj_dim)),
+        }
+        return TrainState(jnp.zeros((), jnp.int32), params, bstats,
+                          self.tx.init(params), extra)
+
+    def _flat(self, views):
+        b, v = views.shape[:2]
+        return views.reshape(b * v, *views.shape[2:]), b, v
+
+    def train_step(self, state, batch, key):
+        g1, b, vg = self._flat(batch["global_1"])
+        g2, _, _ = self._flat(batch["global_2"])
+        l1, _, vl = self._flat(batch["local_1"])
+        l2, _, _ = self._flat(batch["local_2"])
+
+        epoch = state.step // self.data.steps_per_epoch
+        temp_t = dino_teacher_temp(epoch, lower=self.temp_t_lower,
+                                   upper=self.temp_t_upper,
+                                   warmup_epochs=self.temp_warmup_epochs)
+
+        # teacher on global views only (no grad; its BN stats advance)
+        t1, t_bs = apply_train(self.teacher, state.extra["teacher_params"],
+                               state.extra["teacher_batch_stats"], g1)
+        t2, t_bs = apply_train(self.teacher, state.extra["teacher_params"], t_bs, g2)
+        t1 = jax.lax.stop_gradient(t1).reshape(b, vg, -1)
+        t2 = jax.lax.stop_gradient(t2).reshape(b, vg, -1)
+
+        center = state.extra["center"]
+
+        def loss_fn(params):
+            sg1, bs = apply_train(self.student, params, state.batch_stats, g1)
+            sg2, bs = apply_train(self.student, params, bs, g2)
+            sl1, bs = apply_train(self.student, params, bs, l1)
+            sl2, bs = apply_train(self.student, params, bs, l2)
+            s1 = jnp.concatenate([sg1.reshape(b, vg, -1), sl1.reshape(b, vl, -1)], 1)
+            s2 = jnp.concatenate([sg2.reshape(b, vg, -1), sl2.reshape(b, vl, -1)], 1)
+            loss = (0.5 * dino_loss(t1, s2, self.temp_student, temp_t, center)
+                    + 0.5 * dino_loss(t2, s1, self.temp_student, temp_t, center))
+            return loss, bs
+
+        params, opt_state, loss, bstats = self.grad_step(state, loss_fn)
+
+        # center EMA over all teacher global outputs (dino.py:136-141,164)
+        t_all = jnp.concatenate([t1.reshape(b * vg, -1), t2.reshape(b * vg, -1)], 0)
+        center = self.center_m * center + (1 - self.center_m) * jnp.mean(t_all, 0, keepdims=True)
+
+        new = state.replace(
+            step=state.step + 1, params=params, batch_stats=bstats,
+            opt_state=opt_state,
+            extra={"teacher_params": state.extra["teacher_params"],
+                   "teacher_batch_stats": t_bs, "center": center})
+        return new, {"loss": loss}
+
+    def post_epoch(self, state, epoch):
+        """Per-epoch teacher EMA with cosine lambda (dino.py:129-134,227)."""
+        lbd = cosine_ramp(epoch, self.epochs, self.lambda_lower, self.lambda_upper)
+        t_params = ema_update(state.extra["teacher_params"], state.params, lbd)
+        return state.replace(extra={**state.extra, "teacher_params": t_params})
+
+    def embed(self, state, images):
+        # reference build_features: student output, not re-normalized
+        # (dino.py:184-193; the missing .cpu() there is a defect — SURVEY §2)
+        return apply_eval(self.student, state.params, state.batch_stats, images)

@@ -1,0 +1,71 @@
+"""ReLIC (reference models/relic.py): BYOL-style online/target towers;
+NT-Xent between online view and target of the other view, plus a KL
+invariance penalty anchored on the online features of the *un-augmented*
+image (relic.py:125-131)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...models.heads import byol_mlp
+from ...models.registry import build_encoder
+from ...objectives import relic_loss
+from ...state.ema import ema_update
+from ...utils.schedules import cosine_ramp
+from ..base import Algorithm, DataInfo, TrainState, apply_eval, apply_train, init_module
+from .common import Tower
+
+
+class ReLIC(Algorithm):
+    name = "relic"
+    batch_kind = "double"
+
+    def __init__(self, config, arch: str, data: DataInfo):
+        super().__init__(config, arch, data)
+        proj_dim = int(config["proj_dim"])
+        encoder, dim = build_encoder(arch, config.get("encoder"))
+        encoder_t, _ = build_encoder(arch, config.get("encoder"))
+        self.online = Tower(encoder=encoder, proj=byol_mlp(dim, proj_dim),
+                            pred=byol_mlp(proj_dim, proj_dim), norm_out=True)
+        self.target = Tower(encoder=encoder_t, proj=byol_mlp(dim, proj_dim),
+                            norm_out=True)
+        self.tau_lower = float(config.get("tau_lower", config.get("tau", 0.996)))
+        self.tau_upper = float(config.get("tau_upper", 1.0))
+        self.loss_cfg = dict(config.get("loss_fn", {}) or {})
+        self.tx = self.make_tx()
+
+    def init_state(self, rng) -> TrainState:
+        k_o, k_t = jax.random.split(rng)
+        params, bstats = init_module(k_o, self.online, self.sample_image())
+        t_params, t_bstats = init_module(k_t, self.target, self.sample_image())
+        extra = {"target_params": t_params, "target_batch_stats": t_bstats}
+        return TrainState(jnp.zeros((), jnp.int32), params, bstats,
+                          self.tx.init(params), extra)
+
+    def train_step(self, state, batch, key):
+        t1, t_bs = apply_train(self.target, state.extra["target_params"],
+                               state.extra["target_batch_stats"], batch["aug_1"])
+        t2, t_bs = apply_train(self.target, state.extra["target_params"],
+                               t_bs, batch["aug_2"])
+
+        def loss_fn(params):
+            o1, bs = apply_train(self.online, params, state.batch_stats, batch["aug_1"])
+            o2, bs = apply_train(self.online, params, bs, batch["aug_2"])
+            orig, bs = apply_train(self.online, params, bs, batch["img"])
+            loss = (relic_loss(o1, jax.lax.stop_gradient(t2), orig, **self.loss_cfg)
+                    + relic_loss(o2, jax.lax.stop_gradient(t1), orig, **self.loss_cfg))
+            return loss, bs
+
+        params, opt_state, loss, bstats = self.grad_step(state, loss_fn)
+        tau = cosine_ramp(state.step, self.total_steps, self.tau_lower, self.tau_upper)
+        online_sub = {"encoder": params["encoder"], "proj": params["proj"]}
+        t_params = ema_update(state.extra["target_params"], online_sub, tau)
+        new = state.replace(
+            step=state.step + 1, params=params, batch_stats=bstats,
+            opt_state=opt_state,
+            extra={"target_params": t_params, "target_batch_stats": t_bs})
+        return new, {"loss": loss}
+
+    def embed(self, state, images):
+        return apply_eval(self.online, state.params, state.batch_stats, images)

@@ -1,0 +1,46 @@
+"""SimCLR (reference models/simclr.py): shared encoder + 2-layer BN
+projection head over two augmented views, NT-Xent loss."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...models.heads import l2_normalize, simclr_projection
+from ...models.registry import build_encoder
+from ...objectives import nt_xent
+from ..base import Algorithm, DataInfo, TrainState, apply_eval, apply_train, init_module
+from .common import Tower
+
+
+class SimCLR(Algorithm):
+    name = "simclr"
+    batch_kind = "double"
+
+    def __init__(self, config, arch: str, data: DataInfo):
+        super().__init__(config, arch, data)
+        encoder, dim = build_encoder(arch, config.get("encoder"))
+        self.model = Tower(encoder=encoder,
+                           proj=simclr_projection(dim, int(config["proj_dim"])))
+        self.loss_cfg = dict(config.get("loss_fn", {}) or {})
+        self.tx = self.make_tx()
+
+    def init_state(self, rng) -> TrainState:
+        params, bstats = init_module(rng, self.model, self.sample_image())
+        return TrainState(jnp.zeros((), jnp.int32), params, bstats,
+                          self.tx.init(params), {})
+
+    def train_step(self, state, batch, key):
+        def loss_fn(params):
+            z1, bs = apply_train(self.model, params, state.batch_stats, batch["aug_1"])
+            z2, bs = apply_train(self.model, params, bs, batch["aug_2"])
+            return nt_xent(z1, z2, **self.loss_cfg), bs
+
+        params, opt_state, loss, bstats = self.grad_step(state, loss_fn)
+        new = state.replace(step=state.step + 1, params=params,
+                            batch_stats=bstats, opt_state=opt_state)
+        return new, {"loss": loss}
+
+    def embed(self, state, images):
+        z = apply_eval(self.model, state.params, state.batch_stats, images)
+        return l2_normalize(z)

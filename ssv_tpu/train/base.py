@@ -1,0 +1,132 @@
+"""Trainer-side abstractions.
+
+The reference implements eleven structurally-identical trainer classes by
+copy-paste (SURVEY.md §2b — the ~120-line scaffold repeated in every
+models/*.py). Here that scaffold exists ONCE (train/trainer.py) and each
+algorithm is a small object with three pure functions:
+
+    init_state(rng)                  -> TrainState
+    train_step(state, batch, key)    -> (TrainState, metrics)   [jit/scan-safe]
+    embed(state, images)             -> features                [jit-safe]
+
+plus optional hooks (`post_epoch` for per-epoch EMA/temperature updates,
+`pre_train` for bank initialization, `pre_epoch` for pseudo-label rounds).
+All mutable training state — including EMA twins, queues, centers, Sinkhorn
+scalers and pseudo-labels — lives in `TrainState.extra`, so checkpointing is
+one pytree save and the whole step stays inside one compiled program.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import flax
+import jax
+import jax.numpy as jnp
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray          # () int32, global step
+    params: Any                # trainable params
+    batch_stats: Any           # BN running stats of the trainable net
+    opt_state: Any
+    extra: Any                 # algorithm-specific state pytree (dict)
+
+
+@dataclass
+class DataInfo:
+    num_classes: int
+    n_train: int
+    batch_size: int
+    steps_per_epoch: int
+    image_size: int = 32
+
+
+def init_module(rng, module, *sample_inputs, **kwargs):
+    variables = module.init(rng, *sample_inputs, train=True, **kwargs)
+    return variables.get("params", {}), variables.get("batch_stats", {})
+
+
+def apply_train(module, params, batch_stats, *inputs, **kwargs):
+    """Forward in train mode; returns (out, new_batch_stats)."""
+    out, updates = module.apply(
+        {"params": params, "batch_stats": batch_stats}, *inputs, train=True,
+        mutable=["batch_stats"], **kwargs)
+    return out, updates["batch_stats"]
+
+
+def apply_eval(module, params, batch_stats, *inputs, **kwargs):
+    return module.apply({"params": params, "batch_stats": batch_stats},
+                        *inputs, train=False, **kwargs)
+
+
+class Algorithm:
+    """Base class; subclasses live in train/algorithms/."""
+
+    name: str = "base"
+    batch_kind: str = "double"
+
+    def __init__(self, config, arch: str, data: DataInfo):
+        self.config = config
+        self.arch = arch
+        self.data = data
+        self.epochs = int(config["epochs"])
+        self.total_steps = self.epochs * data.steps_per_epoch
+
+    # -- required -----------------------------------------------------
+    def init_state(self, rng) -> TrainState:
+        raise NotImplementedError
+
+    def train_step(self, state: TrainState, batch: dict, key):
+        raise NotImplementedError
+
+    def embed(self, state: TrainState, images):
+        """Features used for KNN validation / linear eval / get_features —
+        per-algorithm semantics of the reference's build_features."""
+        raise NotImplementedError
+
+    # -- optional hooks ------------------------------------------------
+    def post_epoch(self, state: TrainState, epoch) -> TrainState:
+        """Jitted per-epoch state update (e.g. DINO's per-epoch teacher EMA)."""
+        return state
+
+    def pre_train(self, state: TrainState, trainer) -> TrainState:
+        """One-time setup needing data access (e.g. bank initialization)."""
+        return state
+
+    def pre_epoch(self, state: TrainState, trainer, epoch: int) -> TrainState:
+        """Host-level per-epoch work (e.g. K-means pseudo-labelling)."""
+        return state
+
+    # -- shared helpers -------------------------------------------------
+    def lr_fn(self) -> Callable:
+        from ..utils.schedules import lr_schedule
+        return lr_schedule(dict(self.config["optimizer"]),
+                           dict(self.config.get("scheduler", {}) or {}),
+                           epochs=self.epochs,
+                           steps_per_epoch=self.data.steps_per_epoch)
+
+    def make_tx(self, lr_fn=None, weight_decay_fn=None, grad_clip=None):
+        from .optim import get_optimizer
+        return get_optimizer(dict(self.config["optimizer"]),
+                             lr_fn or self.lr_fn(),
+                             weight_decay_fn=weight_decay_fn,
+                             grad_clip=grad_clip)
+
+    def epoch_of(self, step):
+        return step // self.data.steps_per_epoch
+
+    def grad_step(self, state: TrainState, loss_fn):
+        """value_and_grad + optimizer update. `loss_fn(params) -> (loss, aux)`
+        where aux carries at least the updated batch_stats."""
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        import optax
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return params, opt_state, loss, aux
+
+    def sample_image(self, size: int | None = None):
+        s = size or self.data.image_size
+        return jnp.zeros((2, s, s, 3), jnp.float32)

@@ -1,0 +1,95 @@
+"""Integration smoke tests: every algorithm trains 1 epoch end-to-end on a
+tiny synthetic dataset (full pipeline: on-device augmentation -> encoder ->
+loss -> optimizer -> state updates -> KNN eval -> linear probe), finite loss,
+state advances, checkpoint round-trips."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from helpers import make_trainer
+
+ALGOS = ["simclr", "moco", "byol", "simsiam", "relic", "barlow", "swav",
+         "pirl", "deep_cluster", "sela"]
+
+
+@pytest.mark.parametrize("algo", ALGOS)
+def test_one_epoch(algo, tmp_path):
+    t = make_trainer(algo, tmp_path)
+    images, labels = t._train_arrays
+    state = t.algorithm.pre_train(t.state, t)
+    state = t.algorithm.pre_epoch(state, t, 1)
+    idx_mat = t.pipeline.epoch_indices(jax.random.PRNGKey(1))
+    state, losses = t._epoch_fn(state, images, labels, idx_mat,
+                                jax.random.PRNGKey(2))
+    state = t._post_epoch_fn(state, jnp.asarray(1))
+    losses = np.asarray(losses)
+    assert np.isfinite(losses).all(), losses
+    assert int(state.step) == t.pipeline.steps_per_epoch
+    t.state = state
+
+    acc = t.knn_validate()
+    assert 0.0 <= acc <= 1.0
+
+    fvecs, gt = t.build_features("test")
+    assert fvecs.shape[0] == t.pipeline.n_test
+    assert np.isfinite(fvecs).all()
+
+
+def test_simclr_resnet18_step(tmp_path):
+    """One real-backbone integration check (the other algorithm tests use
+    the tiny encoder to keep CPU compile times sane)."""
+    t = make_trainer("simclr", tmp_path, arch="resnet18", n_train=32,
+                     batch_size=8)
+    images, labels = t._train_arrays
+    idx = jnp.arange(8, dtype=jnp.int32)
+    state, metrics = t._step_fn(t.state, images, labels, idx,
+                                jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_dino_one_epoch(tmp_path):
+    t = make_trainer("dino", tmp_path, arch="vit", batch_size=8)
+    images, labels = t._train_arrays
+    idx_mat = t.pipeline.epoch_indices(jax.random.PRNGKey(1))
+    state, losses = t._epoch_fn(t.state, images, labels, idx_mat,
+                                jax.random.PRNGKey(2))
+    state = t._post_epoch_fn(state, jnp.asarray(1))
+    assert np.isfinite(np.asarray(losses)).all()
+    t.state = state
+    acc = t.knn_validate()
+    assert 0.0 <= acc <= 1.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    t = make_trainer("simclr", tmp_path)
+    images, labels = t._train_arrays
+    idx_mat = t.pipeline.epoch_indices(jax.random.PRNGKey(1))
+    t.state, _ = t._epoch_fn(t.state, images, labels, idx_mat,
+                             jax.random.PRNGKey(2))
+    t.best_metric = 0.5
+    t.save_checkpoint()
+
+    before = jax.tree_util.tree_leaves(t.state)
+    t2 = make_trainer("simclr", tmp_path)
+    t2.load_checkpoint(t.output_dir)
+    after = jax.tree_util.tree_leaves(t2.state)
+    assert t2.best_metric == 0.5
+    for a, b in zip(before, after):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_loss_decreases_simclr(tmp_path):
+    t = make_trainer("simclr", tmp_path, epochs=5, n_train=128, batch_size=32)
+    images, labels = t._train_arrays
+    state = t.state
+    first, last = None, None
+    for e in range(5):
+        idx_mat = t.pipeline.epoch_indices(jax.random.PRNGKey(e))
+        state, losses = t._epoch_fn(state, images, labels, idx_mat,
+                                    jax.random.PRNGKey(100 + e))
+        m = float(np.asarray(losses).mean())
+        first = m if first is None else first
+        last = m
+    assert last < first
