@@ -238,25 +238,33 @@ class Trainer:
         self.logger.write(f"Test linear eval accuracy: {acc:.4f}", mode="info")
         return acc
 
-    def save_checkpoint(self, name: str = "best_model"):
+    def save_checkpoint(self, name: str = "best_model", epoch: int | None = None):
         path = os.path.join(self.output_dir, name)
         save_state(path, self.state)
-        meta = {"best_metric": self.best_metric, "start_epoch": self.start_epoch}
+        meta = {"best_metric": self.best_metric,
+                "start_epoch": (epoch + 1) if epoch is not None else self.start_epoch}
         with open(os.path.join(self.output_dir, f"{name}.meta.json"), "w") as f:
             json.dump(meta, f)
 
-    def load_checkpoint(self, ckpt_dir: str, name: str = "best_model"):
-        path = os.path.join(ckpt_dir, name)
-        if not os.path.exists(path):
-            raise FileNotFoundError(f"No checkpoint at {path}")
-        self.state = restore_state(path, self.state)
-        meta_path = os.path.join(ckpt_dir, f"{name}.meta.json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                meta = json.load(f)
-            self.best_metric = meta.get("best_metric", 0.0)
-            self.start_epoch = meta.get("start_epoch", 1)
-        self.logger.print(f"Loaded checkpoint from {path}", mode="info")
+    def load_checkpoint(self, ckpt_dir: str, name: str | None = None):
+        """Restores full TrainState. Prefers the rolling `latest` checkpoint
+        (exact resume), falling back to `best_model` — unlike the reference,
+        whose load path checks a never-created file and cannot resume
+        (simclr.py:69, SURVEY §2b/§5)."""
+        candidates = [name] if name else ["latest", "best_model"]
+        for cand in candidates:
+            path = os.path.join(ckpt_dir, cand)
+            if os.path.exists(path):
+                self.state = restore_state(path, self.state)
+                meta_path = os.path.join(ckpt_dir, f"{cand}.meta.json")
+                if os.path.exists(meta_path):
+                    with open(meta_path) as f:
+                        meta = json.load(f)
+                    self.best_metric = meta.get("best_metric", 0.0)
+                    self.start_epoch = meta.get("start_epoch", 1)
+                self.logger.print(f"Loaded checkpoint from {path}", mode="info")
+                return
+        raise FileNotFoundError(f"No checkpoint under {ckpt_dir} ({candidates})")
 
     # ------------------------------------------------------------------
     def train(self):
@@ -264,16 +272,29 @@ class Trainer:
         images, labels = self._train_arrays
         state = self.algorithm.pre_train(self.state, self)
 
+        # Observability: SSV_TPU_PROFILE_DIR captures a jax.profiler trace of
+        # one steady-state epoch (the second, after compilation) for
+        # inspection in XProf/TensorBoard (SURVEY §5: the reference has no
+        # profiling at all).
+        profile_dir = os.environ.get("SSV_TPU_PROFILE_DIR")
+
         for epoch in range(self.start_epoch, self.epochs + 1):
             state = self.algorithm.pre_epoch(state, self, epoch)
 
             self.rng, k_perm, k_epoch = jax.random.split(self.rng, 3)
             idx_mat = self.pipeline.epoch_indices(k_perm)
+            profiling = profile_dir and epoch == self.start_epoch + 1
+            if profiling:
+                jax.profiler.start_trace(profile_dir)
             t0 = time.perf_counter()
             state, losses = self._epoch_fn(state, images, labels, idx_mat, k_epoch)
             state = self._post_epoch_fn(state, jnp.asarray(epoch))
             losses = np.asarray(losses)
             dt = time.perf_counter() - t0
+            if profiling:
+                jax.profiler.stop_trace()
+                self.logger.print(f"Profiler trace written to {profile_dir}",
+                                  mode="info")
 
             ips = idx_mat.size / dt
             msg = (f"Epoch {epoch:4d}/{self.epochs:4d} [loss] {losses.mean():.4f} "
@@ -291,8 +312,9 @@ class Trainer:
                 self.wandb.log({"KNN accuracy": knn_acc, "Epoch": epoch})
                 if knn_acc > self.best_metric:
                     self.best_metric = knn_acc
-                    self.start_epoch = epoch + 1
-                    self.save_checkpoint()
+                    self.save_checkpoint("best_model", epoch=epoch)
+                # rolling resume point (full state incl. optimizer/banks)
+                self.save_checkpoint("latest", epoch=epoch)
 
         self.state = state
         self.logger.print("Completed training. Beginning linear evaluation.",
