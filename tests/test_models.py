@@ -1,0 +1,161 @@
+"""Backbone/head structure and quirk tests (reference networks/*.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ssv_tpu.models import build_encoder
+from ssv_tpu.models.heads import (ClusterHeads, DinoHead, Prototypes,
+                                  WeightNormDense, simclr_projection)
+from ssv_tpu.models.vit import patchify
+
+VIT_CFG = dict(hidden_dim=48, embedding_dim=16, intermediate_dim=64,
+               num_attention_heads=4, patch_size=4, num_local_patches=4,
+               num_global_patches=64, num_encoder_layers=2)
+
+
+def test_resnet_feature_dims():
+    for arch, dim in [("resnet18", 512), ("resnet50", 2048),
+                      ("resnext50", 2048), ("wide_resnet50", 2048)]:
+        m, d = build_encoder(arch, {"reduce_bottom_conv": True})
+        assert d == dim
+
+
+def test_resnet18_shapes_and_bnstats():
+    m, d = build_encoder("resnet18", {"reduce_bottom_conv": True})
+    x = jnp.zeros((2, 32, 32, 3))
+    v = m.init(jax.random.PRNGKey(0), x, train=True)
+    out, upd = m.apply(v, x, train=True, mutable=["batch_stats"])
+    assert out.shape == (2, 512) and out.dtype == jnp.float32
+    # eval mode uses running stats, no mutation needed
+    out_eval = m.apply(v, x, train=False)
+    assert out_eval.shape == (2, 512)
+
+
+def test_resnet_zero_init_residual():
+    m, _ = build_encoder("resnet18", {"reduce_bottom_conv": True,
+                                      "zero_init_residual": True})
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=True)
+    # last BN of each BasicBlock has scale == 0
+    flat = jax.tree_util.tree_flatten_with_path(v["params"])[0]
+    zero_scales = [p for p, leaf in flat
+                   if "BatchNorm_1" in str(p) and "scale" in str(p)
+                   and float(np.abs(np.asarray(leaf)).max()) == 0.0]
+    assert len(zero_scales) >= 8  # 2 blocks x 4 stages
+
+
+def test_patchify_matches_unfold_order():
+    """nn.Unfold flattens each patch as (c, py, px) — channel-major."""
+    img = jnp.arange(2 * 8 * 8 * 3).reshape(2, 8, 8, 3).astype(jnp.float32)
+    p = patchify(img, 4)
+    assert p.shape == (2, 4, 48)
+    # manual first patch of image 0: channels-major over the 4x4 block
+    want = img[0, :4, :4, :].transpose(2, 0, 1).reshape(-1)
+    np.testing.assert_allclose(np.asarray(p[0, 0]), np.asarray(want))
+
+
+def test_vit_dual_pos_tables_one_param_tree():
+    m, d = build_encoder("vit", VIT_CFG)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)))
+    params = v["params"]
+    assert params["pos_embedding_global"].shape == (65, 16)
+    assert params["pos_embedding_local"].shape == (5, 16)
+    # same tree serves both input sizes
+    out_g = m.apply(v, jnp.zeros((2, 32, 32, 3)))
+    out_l = m.apply(v, jnp.zeros((2, 8, 8, 3)))
+    assert out_g.shape == out_l.shape == (2, 48)
+    with pytest.raises(ValueError):
+        m.apply(v, jnp.zeros((2, 16, 16, 3)))
+
+
+def test_vit_returns_attention_maps():
+    m, _ = build_encoder("vit", VIT_CFG)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)))
+    out, attn = m.apply(v, jnp.zeros((2, 32, 32, 3)), return_attn=True)
+    assert set(attn) == {"layer_0", "layer_1"}
+    assert attn["layer_0"].shape == (2, 4, 65, 65)
+    # rows are distributions
+    np.testing.assert_allclose(np.asarray(attn["layer_0"]).sum(-1), 1.0,
+                               rtol=1e-3)
+
+
+def test_vit_layernorm_residual_quirk():
+    """Reference quirk (vit.py:24-31): the residual added to the attention
+    output is LayerNorm(x), NOT x. With zeroed QKV/FF the layer must reduce
+    to LayerNorm composition rather than identity."""
+    from ssv_tpu.models.vit import TransformerLayer
+    from flax import linen as nn
+
+    layer = TransformerLayer(hidden_dim=8, intermediate_dim=16, num_heads=2)
+    x = jnp.array(np.random.RandomState(0).randn(1, 3, 8), jnp.float32)
+    v = layer.init(jax.random.PRNGKey(0), x)
+    # zero every Dense kernel/bias -> branch contributions vanish
+    zeroed = jax.tree_util.tree_map(
+        lambda a: jnp.zeros_like(a) if a.ndim >= 1 else a, v["params"])
+    # keep LayerNorm scales at 1
+    def restore_ln(p):
+        for sub in p.values():
+            if isinstance(sub, dict):
+                restore_ln(sub)
+        if "ln" in p:
+            p["ln"]["scale"] = jnp.ones_like(p["ln"]["scale"])
+        return p
+    import flax
+    zeroed = flax.core.unfreeze(zeroed)
+    restore_ln(zeroed)
+    out, _ = layer.apply({"params": zeroed}, x)
+    ln = nn.LayerNorm()
+    lnv = ln.init(jax.random.PRNGKey(0), x)
+    want = ln.apply(lnv, ln.apply(lnv, x))  # two stacked norm-residuals
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
+
+
+def test_weight_norm_dense_matches_torch_semantics():
+    """W[:, j] = g[j] * v[:, j]/||v[:, j]||, g init = ||v|| => initial output
+    equals plain dense with v."""
+    m = WeightNormDense(6)
+    x = jnp.array(np.random.RandomState(0).randn(3, 4), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(v, x)
+    vmat = np.asarray(v["params"]["v"])
+    np.testing.assert_allclose(np.asarray(out), x @ vmat, rtol=1e-4, atol=1e-5)
+    # g scaling changes column norms proportionally
+    v2 = flax_set = jax.tree_util.tree_map(lambda a: a, v)
+    g = np.asarray(v["params"]["g"])
+    import flax
+    v2 = flax.core.unfreeze(v2)
+    v2["params"]["g"] = jnp.asarray(g * 2)
+    out2 = m.apply(v2, x)
+    np.testing.assert_allclose(np.asarray(out2), 2 * np.asarray(out),
+                               rtol=1e-4)
+
+
+def test_prototypes_rows_unit_norm():
+    m = Prototypes(10, 8)
+    v = m.init(jax.random.PRNGKey(0))
+    table = m.apply(v)
+    np.testing.assert_allclose(np.asarray(jnp.linalg.norm(table, axis=1)),
+                               1.0, rtol=1e-5)
+
+
+def test_cluster_heads_match_loop():
+    m = ClusterHeads(num_heads=3, num_clusters=5)
+    x = jnp.array(np.random.RandomState(0).randn(4, 6), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = np.asarray(m.apply(v, x))
+    w = np.asarray(v["params"]["kernel"])
+    b = np.asarray(v["params"]["bias"])
+    for h in range(3):
+        np.testing.assert_allclose(out[h], np.asarray(x) @ w[h] + b[h],
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_simclr_projection_structure():
+    m = simclr_projection(16, 8)
+    x = jnp.zeros((4, 16))
+    v = m.init(jax.random.PRNGKey(0), x)
+    out, _ = m.apply(v, x, train=True, mutable=["batch_stats"])
+    assert out.shape == (4, 8)
+    # two BN layers (after each fc)
+    assert len([k for k in v["batch_stats"] if "BatchNorm" in k]) == 2
