@@ -112,7 +112,7 @@ class Trainer:
             def body(st, inp):
                 idx, k = inp
                 st, metrics = step_fn(st, images, labels, idx, k)
-                return st, metrics["loss"]
+                return st, metrics  # full per-step metric dict
 
             return jax.lax.scan(body, state, (idx_mat, keys))
 
@@ -270,7 +270,11 @@ class Trainer:
     def train(self):
         self.logger.print("Beginning training.", mode="info")
         images, labels = self._train_arrays
-        state = self.algorithm.pre_train(self.state, self)
+        if self.start_epoch == 1:
+            state = self.algorithm.pre_train(self.state, self)
+        else:
+            # resumed: banks/state came from the checkpoint — don't re-init
+            state = self.state
 
         # Observability: SSV_TPU_PROFILE_DIR captures a jax.profiler trace of
         # one steady-state epoch (the second, after compilation) for
@@ -287,9 +291,9 @@ class Trainer:
             if profiling:
                 jax.profiler.start_trace(profile_dir)
             t0 = time.perf_counter()
-            state, losses = self._epoch_fn(state, images, labels, idx_mat, k_epoch)
+            state, metrics = self._epoch_fn(state, images, labels, idx_mat, k_epoch)
             state = self._post_epoch_fn(state, jnp.asarray(epoch))
-            losses = np.asarray(losses)
+            means = {k: float(np.asarray(v).mean()) for k, v in metrics.items()}
             dt = time.perf_counter() - t0
             if profiling:
                 jax.profiler.stop_trace()
@@ -297,11 +301,13 @@ class Trainer:
                                   mode="info")
 
             ips = idx_mat.size / dt
-            msg = (f"Epoch {epoch:4d}/{self.epochs:4d} [loss] {losses.mean():.4f} "
-                   f"[img/s] {ips:,.0f}")
+            msg = (f"Epoch {epoch:4d}/{self.epochs:4d} "
+                   + " ".join(f"[{k}] {v:.4f}" for k, v in means.items())
+                   + f" [img/s] {ips:,.0f}")
             self.logger.write(msg, mode="train")
-            self.wandb.log({"Train loss": float(losses.mean()),
-                            "images_per_sec": ips, "Epoch": epoch})
+            self.wandb.log({"Train loss": means.get("loss", 0.0),
+                            "images_per_sec": ips, "Epoch": epoch,
+                            **{k: v for k, v in means.items() if k != "loss"}})
 
             if epoch % self.eval_every == 0:
                 self.state = state

@@ -21,10 +21,10 @@ def test_one_epoch(algo, tmp_path):
     state = t.algorithm.pre_train(t.state, t)
     state = t.algorithm.pre_epoch(state, t, 1)
     idx_mat = t.pipeline.epoch_indices(jax.random.PRNGKey(1))
-    state, losses = t._epoch_fn(state, images, labels, idx_mat,
+    state, metrics = t._epoch_fn(state, images, labels, idx_mat,
                                 jax.random.PRNGKey(2))
     state = t._post_epoch_fn(state, jnp.asarray(1))
-    losses = np.asarray(losses)
+    losses = np.asarray(metrics["loss"])
     assert np.isfinite(losses).all(), losses
     assert int(state.step) == t.pipeline.steps_per_epoch
     t.state = state
@@ -53,10 +53,10 @@ def test_dino_one_epoch(tmp_path):
     t = make_trainer("dino", tmp_path, arch="vit", batch_size=8)
     images, labels = t._train_arrays
     idx_mat = t.pipeline.epoch_indices(jax.random.PRNGKey(1))
-    state, losses = t._epoch_fn(t.state, images, labels, idx_mat,
+    state, metrics = t._epoch_fn(t.state, images, labels, idx_mat,
                                 jax.random.PRNGKey(2))
     state = t._post_epoch_fn(state, jnp.asarray(1))
-    assert np.isfinite(np.asarray(losses)).all()
+    assert np.isfinite(np.asarray(metrics["loss"])).all()
     t.state = state
     acc = t.knn_validate()
     assert 0.0 <= acc <= 1.0
@@ -87,9 +87,9 @@ def test_loss_decreases_simclr(tmp_path):
     first, last = None, None
     for e in range(5):
         idx_mat = t.pipeline.epoch_indices(jax.random.PRNGKey(e))
-        state, losses = t._epoch_fn(state, images, labels, idx_mat,
+        state, metrics = t._epoch_fn(state, images, labels, idx_mat,
                                     jax.random.PRNGKey(100 + e))
-        m = float(np.asarray(losses).mean())
+        m = float(np.asarray(metrics["loss"]).mean())
         first = m if first is None else first
         last = m
     assert last < first

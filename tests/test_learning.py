@@ -17,9 +17,9 @@ def test_simclr_learns_knn_signal(tmp_path):
     losses_per_epoch = []
     for e in range(4):
         idx_mat = t.pipeline.epoch_indices(jax.random.PRNGKey(e))
-        state, losses = t._epoch_fn(state, images, labels, idx_mat,
+        state, metrics = t._epoch_fn(state, images, labels, idx_mat,
                                     jax.random.PRNGKey(100 + e))
-        losses_per_epoch.append(float(np.asarray(losses).mean()))
+        losses_per_epoch.append(float(np.asarray(metrics["loss"]).mean()))
     t.state = state
     acc = t.knn_validate()
     # 10 synthetic classes -> chance is 0.1; the class-structured prototypes
