@@ -42,13 +42,12 @@ def build_encoder(arch: str, encoder_cfg: dict):
         )
         return model, cfg["hidden_dim"]
     entry = NETWORKS[arch]
-    if arch != "tiny":
-        # Tolerate configs written for other backbones (e.g. running
-        # `--algo dino --arch resnet18` with dino.yaml's ViT encoder block —
-        # a combination that crashes the reference, dino.py:57): keep only
-        # ResNet-relevant keys.
-        allowed = {"reduce_bottom_conv", "zero_init_residual", "dtype",
-                   "param_dtype"}
-        cfg = {k: v for k, v in cfg.items() if k in allowed}
+    # Tolerate configs written for other backbones (e.g. running
+    # `--algo dino --arch resnet18` with dino.yaml's ViT encoder block —
+    # a combination that crashes the reference, dino.py:57): keep only
+    # keys the conv backbones understand.
+    allowed = {"reduce_bottom_conv", "zero_init_residual", "dtype",
+               "param_dtype", "features"}
+    cfg = {k: v for k, v in cfg.items() if k in allowed}
     model = entry["net"](**cfg)
     return model, entry["dim"]

@@ -44,7 +44,7 @@ class Trainer:
                  allow_synthetic: bool = True,
                  synthetic_sizes: tuple[int, int] | None = None,
                  make_dirs: bool = True, seed: int = 420,
-                 use_mesh: bool = True):
+                 use_mesh: bool | None = None):
         self.args = dict(args)
         algo_name, arch = args["algo"], args["arch"]
         output_root = os.path.join("outputs", algo_name, arch)
@@ -74,6 +74,11 @@ class Trainer:
         self.epochs = int(cfg["epochs"])
         self.eval_every = int(cfg.get("eval_every", 10))
 
+        # Mesh shardings only pay off (and only change program semantics)
+        # with >1 device; on a single chip explicit NamedSharding placement
+        # is pure overhead, so default to plain placement there.
+        if use_mesh is None:
+            use_mesh = jax.device_count() > 1
         self.mesh = get_mesh() if use_mesh else None
         self.rng = jax.random.PRNGKey(seed)
         self.rng, init_rng = jax.random.split(self.rng)
