@@ -45,7 +45,7 @@ def main():
     task = args["task"]
 
     if task == "train":
-        trainer.train()
+        trainer.train_safe()
 
     elif task == "linear_eval":
         _check_checkpoint_specified(args)

@@ -298,6 +298,8 @@ class Trainer:
             t0 = time.perf_counter()
             state, metrics = self._epoch_fn(state, images, labels, idx_mat, k_epoch)
             state = self._post_epoch_fn(state, jnp.asarray(epoch))
+            self.state = state  # keep the resumable snapshot current
+            self.start_epoch = epoch + 1
             means = {k: float(np.asarray(v).mean()) for k, v in metrics.items()}
             dt = time.perf_counter() - t0
             if profiling:
@@ -331,3 +333,20 @@ class Trainer:
         self.logger.print("Completed training. Beginning linear evaluation.",
                           mode="info")
         return self.perform_linear_eval()
+
+    def train_safe(self):
+        """train() with failure containment: on interrupt or error the full
+        TrainState is flushed to `<output_dir>/latest` so the run resumes
+        exactly (`--load <output_dir>`). The reference loses everything but
+        the last best-KNN params on a crash (SURVEY §5)."""
+        try:
+            return self.train()
+        except (KeyboardInterrupt, Exception):
+            try:
+                self.save_checkpoint("latest")
+                self.logger.print(
+                    f"Interrupted — state saved to {self.output_dir}/latest",
+                    mode="error")
+            except Exception:
+                pass
+            raise
