@@ -15,7 +15,7 @@ from datetime import datetime as dt
 
 import numpy as np
 
-from .config import Config, load_config
+from .config import load_config
 from ..utils.logging import Logger
 
 DEFAULT_SEED = 420  # parity with reference common.py:96-101

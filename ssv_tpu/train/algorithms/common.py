@@ -5,7 +5,7 @@ TargetNetwork variants across models/*.py)."""
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 from flax import linen as nn
 

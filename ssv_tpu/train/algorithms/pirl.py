@@ -13,8 +13,6 @@ TPU redesign of the hot spots:
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -3,7 +3,6 @@ projection head over two augmented views, NT-Xent loss."""
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from ...models.heads import l2_normalize, simclr_projection

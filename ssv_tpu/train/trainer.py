@@ -33,7 +33,7 @@ from ..core.experiment import initialize_experiment
 from ..data.pipeline import DataPipeline
 from ..evals import compute_neighbor_accuracy, linear_evaluation
 from ..parallel.mesh import batch_sharding, get_mesh, replicated
-from ..utils.logging import AverageMeter, get_wandb, progress_bar
+from ..utils.logging import get_wandb, progress_bar
 from .base import DataInfo, TrainState
 from .checkpoint import restore_state, save_state
 from .registry import build_algorithm
