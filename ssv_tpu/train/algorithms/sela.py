@@ -45,6 +45,11 @@ class SeLA(Algorithm):
         self.num_heads = int(config["num_cluster_heads"])
         self.lmbda = float(config["lambda"])
         self.sl_iters = int(config["self_label_iters"])
+        # "reference" reproduces sela.py:146-166 (log_softmax^lambda with
+        # randn alpha/beta — collapse-prone; see VALIDATION.md). "sinkhorn"
+        # is the SeLA paper's actual optimal-transport labelling: uniform-
+        # marginal Sinkhorn over softmax scores, argmax per sample.
+        self.sl_mode = str(config.get("self_label_mode", "reference"))
         encoder, dim = build_encoder(arch, config.get("encoder"))
         self.model = SelaNet(encoder=encoder, num_clusters=self.num_clusters,
                              num_heads=self.num_heads)
@@ -78,11 +83,21 @@ class SeLA(Algorithm):
         alpha, beta = state.extra["alpha"], state.extra["beta"]
         pseudo = np.zeros((self.data.n_train,), np.int32)
 
-        sl = jax.jit(lambda logits, a, b: sela_self_label(
-            logits, a, b, lmbda=self.lmbda, n_iters=self.sl_iters))
-        for logits_np, idx, count in trainer.stream_train(state, logits_fn):
-            labels, alpha, beta = sl(jnp.asarray(logits_np), alpha, beta)
-            pseudo[np.asarray(idx)[:count]] = np.asarray(labels)[:count]
+        if self.sl_mode == "sinkhorn":
+            from ...objectives import sinkhorn_codes
+
+            sl = jax.jit(lambda logits: jnp.argmax(
+                sinkhorn_codes(logits, eps=1.0 / max(self.lmbda, 1e-6),
+                               n_iters=min(self.sl_iters, 30)), axis=-1))
+            for logits_np, idx, count in trainer.stream_train(state, logits_fn):
+                labels = sl(jnp.asarray(logits_np))
+                pseudo[np.asarray(idx)[:count]] = np.asarray(labels)[:count]
+        else:
+            sl = jax.jit(lambda logits, a, b: sela_self_label(
+                logits, a, b, lmbda=self.lmbda, n_iters=self.sl_iters))
+            for logits_np, idx, count in trainer.stream_train(state, logits_fn):
+                labels, alpha, beta = sl(jnp.asarray(logits_np), alpha, beta)
+                pseudo[np.asarray(idx)[:count]] = np.asarray(labels)[:count]
 
         extra = {**state.extra, "alpha": alpha, "beta": beta,
                  "pseudo_labels": jnp.asarray(pseudo)}
