@@ -271,6 +271,21 @@ class Trainer:
                 return
         raise FileNotFoundError(f"No checkpoint under {ckpt_dir} ({candidates})")
 
+    def _run_epoch_stepwise(self, state, images, labels, idx_mat, key, epoch):
+        steps = idx_mat.shape[0]
+        keys = jax.random.split(key, steps)
+        collected: dict[str, list] = {}
+        desc = f"[TRAIN] Epoch {epoch:4d}/{self.epochs:4d}"
+        for s in range(steps):
+            state, metrics = self._step_fn(state, images, labels,
+                                           idx_mat[s], keys[s])
+            for k, v in metrics.items():
+                collected.setdefault(k, []).append(float(v))
+            progress_bar(progress=(s + 1) / steps, desc=desc,
+                         status=f"[loss] {collected['loss'][-1]:.4f}")
+        print()
+        return state, {k: jnp.asarray(v) for k, v in collected.items()}
+
     # ------------------------------------------------------------------
     def train(self):
         self.logger.print("Beginning training.", mode="info")
@@ -296,7 +311,14 @@ class Trainer:
             if profiling:
                 jax.profiler.start_trace(profile_dir)
             t0 = time.perf_counter()
-            state, metrics = self._epoch_fn(state, images, labels, idx_mat, k_epoch)
+            if self.config.get("jit_epoch", True):
+                state, metrics = self._epoch_fn(state, images, labels, idx_mat,
+                                                k_epoch)
+            else:
+                # step mode: one dispatch per step with a live progress bar —
+                # the reference's UX (simclr.py:146-152), for debugging
+                state, metrics = self._run_epoch_stepwise(
+                    state, images, labels, idx_mat, k_epoch, epoch)
             state = self._post_epoch_fn(state, jnp.asarray(epoch))
             self.state = state  # keep the resumable snapshot current
             self.start_epoch = epoch + 1
