@@ -74,11 +74,11 @@ class SeLA(Algorithm):
     # ------------------------------------------------------------------
     def _self_label(self, state, trainer):
         """One self-labelling sweep over the train set (sela.py:146-166)."""
-        best = state.extra["best_head"]
-
         def logits_fn(st, images):
             _, logits = apply_eval(self.model, st.params, st.batch_stats, images)
-            return jnp.take(logits, best, axis=0)    # (batch, K)
+            # best_head is read from the (traced) state so the jit-cached
+            # sweep kernel never bakes in a stale head index
+            return jnp.take(logits, st.extra["best_head"], axis=0)  # (B, K)
 
         alpha, beta = state.extra["alpha"], state.extra["beta"]
         pseudo = np.zeros((self.data.n_train,), np.int32)

@@ -141,6 +141,14 @@ class Trainer:
             return jax.device_put(idx, self._batch_sharding)
         return idx
 
+    def _shard_idx_mat(self, idx_mat):
+        """(steps, batch) epoch index matrix: shard the batch axis so each
+        data-parallel replica gathers/augments only its slice."""
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            return jax.device_put(idx_mat, NamedSharding(self.mesh, P(None, "data")))
+        return idx_mat
+
     # ------------------------------------------------------------------
     # feature extraction (the reference's build_features, SURVEY §2b)
     # ------------------------------------------------------------------
@@ -153,7 +161,7 @@ class Trainer:
         if feature_fn is None:
             fn = self._embed_batch
         else:
-            key_ = id(feature_fn)
+            key_ = ("feat", getattr(feature_fn, "__qualname__", repr(feature_fn)))
             if key_ not in self._embed_cache:
                 eval_t = self.pipeline.make_eval_transform()
 
@@ -182,7 +190,7 @@ class Trainer:
         """Apply fn(state, images)->pytree over the train split in order;
         returns concatenated numpy leaves (used by DeepCluster)."""
         images, _ = self._train_arrays
-        key_ = ("map", id(fn))
+        key_ = ("map", getattr(fn, "__qualname__", repr(fn)))
         if key_ not in self._embed_cache:
             eval_t = self.pipeline.make_eval_transform()
 
@@ -207,7 +215,7 @@ class Trainer:
         """Yield (fn(state, images_batch), idx, count) over the train split
         in deterministic order (used by SeLA's self-labelling)."""
         images, _ = self._train_arrays
-        key_ = ("stream", id(fn))
+        key_ = ("stream", getattr(fn, "__qualname__", repr(fn)))
         if key_ not in self._embed_cache:
             eval_t = self.pipeline.make_eval_transform()
 
@@ -261,6 +269,8 @@ class Trainer:
             path = os.path.join(ckpt_dir, cand)
             if os.path.exists(path):
                 self.state = restore_state(path, self.state)
+                if self.mesh is not None:
+                    self.state = jax.device_put(self.state, replicated(self.mesh))
                 meta_path = os.path.join(ckpt_dir, f"{cand}.meta.json")
                 if os.path.exists(meta_path):
                     with open(meta_path) as f:
@@ -306,7 +316,7 @@ class Trainer:
             state = self.algorithm.pre_epoch(state, self, epoch)
 
             self.rng, k_perm, k_epoch = jax.random.split(self.rng, 3)
-            idx_mat = self.pipeline.epoch_indices(k_perm)
+            idx_mat = self._shard_idx_mat(self.pipeline.epoch_indices(k_perm))
             profiling = profile_dir and epoch == self.start_epoch + 1
             if profiling:
                 jax.profiler.start_trace(profile_dir)
