@@ -80,6 +80,19 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+def test_full_train_loop_on_mesh(tmp_path):
+    """Trainer.train() end-to-end on the 8-device CPU mesh: exercises the
+    sharded epoch index matrices, eval cadence, checkpoint save and the
+    final linear probe in one pass."""
+    t = make_trainer("simclr", tmp_path, epochs=2)
+    assert t.mesh is not None  # conftest provides 8 devices
+    acc = t.train()
+    assert 0.0 <= acc <= 1.0
+    assert int(t.state.step) == 2 * t.pipeline.steps_per_epoch
+    import os
+    assert os.path.exists(os.path.join(t.output_dir, "latest"))
+
+
 def test_loss_decreases_simclr(tmp_path):
     t = make_trainer("simclr", tmp_path, epochs=5, n_train=128, batch_size=32)
     images, labels = t._train_arrays
