@@ -93,6 +93,23 @@ def test_full_train_loop_on_mesh(tmp_path):
     assert os.path.exists(os.path.join(t.output_dir, "latest"))
 
 
+def test_train_safe_saves_state_on_failure(tmp_path):
+    import os
+
+    t = make_trainer("simclr", tmp_path, epochs=2)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected failure")
+
+    t._epoch_fn = boom
+    with pytest.raises(RuntimeError, match="injected"):
+        t.train_safe()
+    assert os.path.exists(os.path.join(t.output_dir, "latest"))
+    # a fresh trainer resumes from the flushed state
+    t2 = make_trainer("simclr", tmp_path)
+    t2.load_checkpoint(t.output_dir)
+
+
 def test_loss_decreases_simclr(tmp_path):
     t = make_trainer("simclr", tmp_path, epochs=5, n_train=128, batch_size=32)
     images, labels = t._train_arrays
