@@ -43,3 +43,9 @@ class BarlowTwins(Algorithm):
     def embed(self, state, images):
         z = apply_eval(self.model, state.params, state.batch_stats, images)
         return l2_normalize(z)
+
+    def make_per_device_step(self, batch_fn, mesh):
+        from ...parallel.per_device import make_two_view_per_device_step
+        return make_two_view_per_device_step(
+            self, batch_fn, mesh,
+            lambda z1, z2: barlow_twins(z1, z2, **self.loss_cfg))

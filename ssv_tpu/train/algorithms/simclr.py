@@ -43,3 +43,11 @@ class SimCLR(Algorithm):
     def embed(self, state, images):
         z = apply_eval(self.model, state.params, state.batch_stats, images)
         return l2_normalize(z)
+
+    def make_per_device_step(self, batch_fn, mesh):
+        """Per-device-BN variant (config `per_device_bn: true`); negatives
+        are still global via all_gather. See parallel/per_device.py."""
+        from ...parallel.per_device import make_two_view_per_device_step
+        return make_two_view_per_device_step(
+            self, batch_fn, mesh,
+            lambda z1, z2: nt_xent(z1, z2, **self.loss_cfg))

@@ -100,6 +100,13 @@ class Algorithm:
         """Host-level per-epoch work (e.g. K-means pseudo-labelling)."""
         return state
 
+    def make_per_device_step(self, batch_fn, mesh):
+        """shard_map step with per-device BN stats (config `per_device_bn`).
+        Only meaningful for algorithms whose state is pure params+BN;
+        see parallel/per_device.py."""
+        raise NotImplementedError(
+            f"per_device_bn is not supported for {self.name}")
+
     # -- shared helpers -------------------------------------------------
     def lr_fn(self) -> Callable:
         from ..utils.schedules import lr_schedule

@@ -106,10 +106,14 @@ class Trainer:
         algo = self.algorithm
         batch_fn = self.pipeline.make_batch_fn(algo.batch_kind)
 
-        def step_fn(state, images, labels, idx, key):
-            k_data, k_algo = jax.random.split(key)
-            batch = batch_fn(images, labels, idx, k_data)
-            return algo.train_step(state, batch, k_algo)
+        if self.config.get("per_device_bn") and self.mesh is not None:
+            # shard_map path: per-device BN statistics, explicit collectives
+            step_fn = algo.make_per_device_step(batch_fn, self.mesh)
+        else:
+            def step_fn(state, images, labels, idx, key):
+                k_data, k_algo = jax.random.split(key)
+                batch = batch_fn(images, labels, idx, k_data)
+                return algo.train_step(state, batch, k_algo)
 
         def epoch_fn(state, images, labels, idx_mat, key):
             keys = jax.random.split(key, idx_mat.shape[0])
