@@ -72,5 +72,5 @@ def make_two_view_per_device_step(algo, batch_fn, mesh, loss_over_gathered):
         local_step, mesh=mesh,
         in_specs=(state_spec, P(), P(), P("data"), P()),
         out_specs=(state_spec, P()),
-        check_rep=False,
+        check_vma=False,
     )
