@@ -62,6 +62,17 @@ def test_dino_one_epoch(tmp_path):
     assert 0.0 <= acc <= 1.0
 
 
+def test_dino_conv_backbone_step(tmp_path):
+    """DINO with a conv backbone (the combination that crashes the reference,
+    dino.py:57): the encoder-config filter makes it work here."""
+    t = make_trainer("dino", tmp_path, arch="tiny", batch_size=8)
+    images, labels = t._train_arrays
+    idx = jnp.arange(8, dtype=jnp.int32)
+    state, metrics = t._step_fn(t.state, images, labels, idx,
+                                jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_checkpoint_roundtrip(tmp_path):
     t = make_trainer("simclr", tmp_path)
     images, labels = t._train_arrays

@@ -55,6 +55,21 @@ def test_hue_roundtrip_and_range():
     np.testing.assert_allclose(shifted.max(-1), IMG.max(-1), atol=1e-4)
 
 
+def test_hue_matches_colorsys():
+    """Exact oracle: per-pixel HSV rotation via colorsys."""
+    import colorsys
+
+    small = IMG[:4, :4, :]
+    for shift in (0.1, -0.2, 0.45):
+        got = np.asarray(A.adjust_hue(jnp.array(small), shift))
+        want = np.zeros_like(small)
+        for y in range(4):
+            for x in range(4):
+                h, s, v = colorsys.rgb_to_hsv(*small[y, x])
+                want[y, x] = colorsys.hsv_to_rgb((h + shift) % 1.0, s, v)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
 def test_solarize_matches_pil():
     for thr in (64, 128, 200):
         want = from_pil(ImageOps.solarize(PIL_IMG, thr))
