@@ -21,6 +21,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 BASELINE_IMG_PER_SEC = 2000.0
@@ -30,6 +31,17 @@ SCAN_STEPS = 100
 
 def main():
     import jax
+
+    # persistent compile cache: repeat runs (driver reruns, CI) skip the
+    # multi-minute XLA compile of the scanned epoch program
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
     import numpy as np
 
