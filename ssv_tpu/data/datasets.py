@@ -1,0 +1,199 @@
+"""Dataset loading: CIFAR-10/100 from disk, with a synthetic fallback.
+
+The reference pulls CIFAR via torchvision with download=True
+(data_utils.py:8-11,99-131). This environment has zero network egress, so we
+read the standard published formats directly if present under `root`:
+
+  * python pickle batches  (cifar-10-batches-py/, cifar-100-python/)
+  * the .npz cache this module writes after a first successful load
+
+and otherwise build a deterministic synthetic dataset with class structure
+(per-class color/texture prototypes + noise) so training, KNN eval and tests
+exercise the full pipeline with a learnable signal.
+
+Datasets are returned as host numpy uint8 NHWC arrays; `DataPipeline` puts
+them on device once (CIFAR-10 train = 150 MB in HBM) and all batch assembly
+happens on device from then on.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import tarfile
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class SplitArrays:
+    images: np.ndarray  # (N, H, W, 3) uint8
+    labels: np.ndarray  # (N,) int32
+
+
+@dataclass
+class Dataset:
+    name: str
+    train: SplitArrays
+    test: SplitArrays
+    num_classes: int
+    synthetic: bool = False
+
+
+def _load_cifar_pickle_dir(d: str, coarse: bool = False):
+    """Read the canonical CIFAR pickle layout (any of the two datasets)."""
+    from . import native_io
+
+    def read(fname):
+        with open(fname, "rb") as f:
+            entry = pickle.load(f, encoding="latin1")
+        chw = entry["data"].reshape(-1, 3, 32, 32).astype(np.uint8)
+        data = native_io.chw_to_hwc(chw)
+        labels = entry.get("labels", entry.get("fine_labels"))
+        return data, np.asarray(labels, np.int32)
+
+    if os.path.exists(os.path.join(d, "data_batch_1")):  # cifar10
+        xs, ys = zip(*[read(os.path.join(d, f"data_batch_{i}")) for i in range(1, 6)])
+        train = SplitArrays(np.concatenate(xs), np.concatenate(ys))
+        test = SplitArrays(*read(os.path.join(d, "test_batch")))
+        return train, test, 10
+    if os.path.exists(os.path.join(d, "train")):  # cifar100
+        train = SplitArrays(*read(os.path.join(d, "train")))
+        test = SplitArrays(*read(os.path.join(d, "test")))
+        return train, test, 100
+    raise FileNotFoundError(d)
+
+
+def _load_cifar_binary_dir(d: str, name: str):
+    """Read the published CIFAR *binary* layout via the native IO library
+    (cifar-10-batches-bin / cifar-100-binary)."""
+    from . import native_io
+
+    if name == "cifar10":
+        parts = [native_io.read_cifar_binary(
+            os.path.join(d, f"data_batch_{i}.bin"), 1, 10000)
+            for i in range(1, 6)]
+        train = SplitArrays(np.concatenate([p[0] for p in parts]),
+                            np.concatenate([p[1] for p in parts]))
+        test = SplitArrays(*native_io.read_cifar_binary(
+            os.path.join(d, "test_batch.bin"), 1, 10000))
+        return train, test, 10
+    train = SplitArrays(*native_io.read_cifar_binary(
+        os.path.join(d, "train.bin"), 2, 50000))
+    test = SplitArrays(*native_io.read_cifar_binary(
+        os.path.join(d, "test.bin"), 2, 10000))
+    return train, test, 100
+
+
+def _find_binary_dir(root: str, name: str):
+    candidates = {"cifar10": ["cifar-10-batches-bin"],
+                  "cifar100": ["cifar-100-binary"]}[name]
+    probe = {"cifar10": "data_batch_1.bin", "cifar100": "train.bin"}[name]
+    for base in (root, os.path.join(root, "..")) if root else ():
+        for c in candidates:
+            d = os.path.join(base, c)
+            if os.path.isfile(os.path.join(d, probe)):
+                return d
+    return None
+
+
+def _find_pickle_dir(root: str, name: str):
+    candidates = {
+        "cifar10": ["cifar-10-batches-py"],
+        "cifar100": ["cifar-100-python"],
+    }[name]
+    for base in (root, os.path.join(root, "..")) if root else ():
+        for c in candidates:
+            d = os.path.join(base, c)
+            if os.path.isdir(d):
+                return d
+        # maybe a tar archive sits there
+        for tarname in (f"{c}.tar.gz" for c in candidates):
+            t = os.path.join(base, tarname)
+            if os.path.isfile(t):
+                with tarfile.open(t) as tf:
+                    tf.extractall(base)
+                d = os.path.join(base, candidates[0])
+                if os.path.isdir(d):
+                    return d
+    return None
+
+
+def make_synthetic(name: str = "cifar10", num_classes: int = 10,
+                   n_train: int = 50000, n_test: int = 10000,
+                   image_size: int = 32, seed: int = 0) -> Dataset:
+    """Class-structured synthetic images: each class is a smooth random RGB
+    gradient field plus per-sample noise — enough signal that SSL encoders
+    separate classes and KNN accuracy is a meaningful smoke metric."""
+    rng = np.random.RandomState(seed)
+    H = W = image_size
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32) / max(H - 1, 1)
+
+    protos = []
+    for c in range(num_classes):
+        coef = rng.uniform(-1, 1, size=(3, 6)).astype(np.float32)
+        fields = np.stack([
+            coef[k, 0] + coef[k, 1] * xx + coef[k, 2] * yy + coef[k, 3] * xx * yy
+            + coef[k, 4] * np.sin(3 * np.pi * xx * (1 + c / num_classes))
+            + coef[k, 5] * np.cos(3 * np.pi * yy * (1 + c / num_classes))
+            for k in range(3)], axis=-1)
+        lo, hi = fields.min(), fields.max()
+        protos.append((fields - lo) / max(hi - lo, 1e-6))
+    protos = np.stack(protos)  # (C, H, W, 3)
+
+    def split(n, seed_off):
+        r = np.random.RandomState(seed + seed_off)
+        labels = r.randint(0, num_classes, size=n).astype(np.int32)
+        noise = r.normal(0, 0.15, size=(n, H, W, 3)).astype(np.float32)
+        shift = r.uniform(-0.15, 0.15, size=(n, 1, 1, 3)).astype(np.float32)
+        imgs = np.clip(protos[labels] + noise + shift, 0, 1)
+        return SplitArrays((imgs * 255).astype(np.uint8), labels)
+
+    return Dataset(name=name, train=split(n_train, 1), test=split(n_test, 2),
+                   num_classes=num_classes, synthetic=True)
+
+
+DATASETS = ("cifar10", "cifar100")
+
+
+def load_dataset(dataset_name: str, root: str, allow_synthetic: bool = True,
+                 synthetic_sizes: tuple[int, int] | None = None) -> Dataset:
+    if dataset_name not in DATASETS:
+        raise ValueError(f"Unknown dataset {dataset_name!r}")
+    num_classes = 10 if dataset_name == "cifar10" else 100
+
+    from . import native_io
+
+    # fast-start flat cache (native writer; single sequential read)
+    cache = os.path.join(root or ".", f"{dataset_name}_train.raw")
+    cache_test = os.path.join(root or ".", f"{dataset_name}_test.raw")
+    cached_train = native_io.read_raw_cache(cache)
+    cached_test = native_io.read_raw_cache(cache_test)
+    if cached_train is not None and cached_test is not None:
+        return Dataset(dataset_name, SplitArrays(*cached_train),
+                       SplitArrays(*cached_test), num_classes)
+
+    loaded = None
+    d = _find_binary_dir(root or ".", dataset_name)
+    if d is not None:
+        loaded = _load_cifar_binary_dir(d, dataset_name)
+    else:
+        d = _find_pickle_dir(root or ".", dataset_name)
+        if d is not None:
+            loaded = _load_cifar_pickle_dir(d)
+    if loaded is not None:
+        train, test, ncls = loaded
+        try:
+            os.makedirs(root or ".", exist_ok=True)
+            native_io.write_raw_cache(cache, train.images, train.labels)
+            native_io.write_raw_cache(cache_test, test.images, test.labels)
+        except OSError:
+            pass
+        return Dataset(dataset_name, train, test, ncls)
+
+    if not allow_synthetic:
+        raise FileNotFoundError(
+            f"{dataset_name} not found under {root!r} and downloads are disabled")
+    n_train, n_test = synthetic_sizes or (50000, 10000)
+    return make_synthetic(dataset_name, num_classes, n_train, n_test)
