@@ -70,6 +70,27 @@ def test_per_device_bn_full_epoch(tmp_path):
     assert np.isfinite(np.asarray(metrics["loss"])).all()
 
 
+def test_moco_per_device_queue_consistent(tmp_path):
+    cfg = mini_config("moco")
+    cfg["per_device_bn"] = True
+    p = tmp_path / "moco.yaml"
+    with open(p, "w") as f:
+        yaml.dump(cfg, f)
+    args = {"config": str(p), "algo": "moco", "arch": "tiny",
+            "task": "train", "output": "m", "load": None}
+    t = Trainer(args, synthetic_sizes=(64, 32), use_mesh=True)
+    images, labels = t._train_arrays
+    idx = t._shard_idx(jnp.arange(16, dtype=jnp.int32))
+    state, metrics = t._step_fn(t.state, images, labels, idx,
+                                jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    # queue advanced by the GLOBAL batch and is replica-consistent
+    assert int(state.extra["queue"].ptr) == 16
+    assert state.extra["queue"].data.sharding.is_fully_replicated
+    rows = np.asarray(state.extra["queue"].data)[:16]
+    np.testing.assert_allclose(np.linalg.norm(rows, axis=1), 1.0, rtol=1e-3)
+
+
 def test_unsupported_algorithm_raises(tmp_path):
     cfg = mini_config("byol")
     cfg["per_device_bn"] = True
