@@ -179,15 +179,14 @@ class Trainer:
             fn = self._embed_cache[key_]
 
         chunks, gts = [], []
-        n_batches = 0
-        for idx, count in self.pipeline.eval_batches(split):
+        batches = list(self.pipeline.eval_batches(split))
+        for i, (idx, count) in enumerate(batches):
             z = fn(state, images, idx)
             chunks.append(np.asarray(z[:count]))
             gts.append(np.asarray(jnp.take(labels, idx[:count], axis=0)))
-            n_batches += 1
             if progress_desc:
-                progress_bar(progress=1.0, desc=progress_desc,
-                             status=f"batch {n_batches}")
+                progress_bar(progress=(i + 1) / len(batches),
+                             desc=progress_desc)
         return np.concatenate(chunks, 0), np.concatenate(gts, 0)
 
     def map_train(self, state, fn: Callable):
