@@ -154,13 +154,86 @@ def make_synthetic(name: str = "cifar10", num_classes: int = 10,
                    num_classes=num_classes, synthetic=True)
 
 
-DATASETS = ("cifar10", "cifar100")
+def make_synthetic_hard(name: str = "synth100", num_classes: int = 100,
+                        n_train: int = 50000, n_test: int = 10000,
+                        image_size: int = 32, seed: int = 0) -> Dataset:
+    """Non-saturating synthetic benchmark (VERDICT round-1 item 1b).
+
+    The easy synthetic set (make_synthetic) is near-linearly separable in
+    pixel space — 3-epoch KNN pins at ~1.0 and cannot rank algorithms. Here
+    the class signal is deliberately NOT visible to raw-pixel similarity:
+
+      * a dictionary of T sinusoidal texture fields is SHARED by all
+        classes; a class is defined only by which textures are active and
+        with what channel weights (its power spectrum);
+      * every instance redraws each texture's PHASE uniformly, so two
+        images of the same class are pixel-wise nearly orthogonal — an
+        encoder must learn phase-invariant (magnitude) statistics, which is
+        exactly what conv feature detectors can do and raw KNN cannot;
+      * 100 fine classes = 10 superclasses (which textures are active)
+        x 10 fine variants (small weight perturbations + one extra weak
+        texture), so ranking requires fine-grained distinctions;
+      * per-instance brightness/color shifts and noise add further nuisance.
+
+    Deterministic in `seed`. Chance KNN = 1/num_classes.
+    """
+    rng = np.random.RandomState(seed)
+    H = W = image_size
+    T = 24                      # shared texture dictionary size
+    S = 4                       # active textures per superclass
+
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32) / max(H - 1, 1)
+    freqs = rng.uniform(1.0, 6.0, size=(T, 2)).astype(np.float32)
+    u = freqs[:, 0, None, None] * xx[None] + freqs[:, 1, None, None] * yy[None]
+    b_sin = np.sin(2 * np.pi * u).astype(np.float32)   # (T, H, W)
+    b_cos = np.cos(2 * np.pi * u).astype(np.float32)
+
+    n_super = 10
+    n_fine = num_classes // n_super
+    A = np.zeros((num_classes, 3, T), np.float32)      # class -> channel weights
+    for s in range(n_super):
+        active = rng.choice(T, size=S, replace=False)
+        base = rng.uniform(0.5, 1.0, size=(3, S)).astype(np.float32)
+        base *= rng.choice([-1.0, 1.0], size=(3, S))
+        for f in range(n_fine):
+            c = s * n_fine + f
+            A[c][:, active] = base * rng.uniform(0.8, 1.2, size=(3, S))
+            extra = rng.randint(0, T)
+            A[c][:, extra] += rng.uniform(0.2, 0.4) * rng.choice([-1.0, 1.0])
+
+    def split(n, seed_off):
+        r = np.random.RandomState(seed + seed_off)
+        labels = r.randint(0, num_classes, size=n).astype(np.int32)
+        imgs = np.empty((n, H, W, 3), np.uint8)
+        for lo in range(0, n, 2048):
+            hi = min(lo + 2048, n)
+            m = hi - lo
+            phase = r.uniform(0, 2 * np.pi, size=(m, T)).astype(np.float32)
+            w1 = A[labels[lo:hi]] * np.cos(phase)[:, None, :]   # (m, 3, T)
+            w2 = A[labels[lo:hi]] * np.sin(phase)[:, None, :]
+            x = (np.einsum("mkt,thw->mhwk", w1, b_sin)
+                 + np.einsum("mkt,thw->mhwk", w2, b_cos))
+            x /= max(np.sqrt(S), 1.0) * 2.0                     # ~[-1, 1]
+            x += r.uniform(-0.2, 0.2, size=(m, 1, 1, 3)).astype(np.float32)
+            x += r.normal(0, 0.08, size=x.shape).astype(np.float32)
+            imgs[lo:hi] = (np.clip(x * 0.5 + 0.5, 0, 1) * 255).astype(np.uint8)
+        return SplitArrays(imgs, labels)
+
+    return Dataset(name=name, train=split(n_train, 1), test=split(n_test, 2),
+                   num_classes=num_classes, synthetic=True)
+
+
+DATASETS = ("cifar10", "cifar100", "synth100")
 
 
 def load_dataset(dataset_name: str, root: str, allow_synthetic: bool = True,
                  synthetic_sizes: tuple[int, int] | None = None) -> Dataset:
     if dataset_name not in DATASETS:
         raise ValueError(f"Unknown dataset {dataset_name!r}")
+    if dataset_name == "synth100":
+        # always generated (never on disk): the non-saturating benchmark
+        n_train, n_test = synthetic_sizes or (50000, 10000)
+        return make_synthetic_hard("synth100", 100, n_train, n_test)
     num_classes = 10 if dataset_name == "cifar10" else 100
 
     from . import native_io

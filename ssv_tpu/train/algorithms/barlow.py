@@ -8,6 +8,7 @@ import jax.numpy as jnp
 from ...models.heads import barlow_projection, l2_normalize
 from ...models.registry import build_encoder
 from ...objectives import barlow_twins
+from ...parallel.per_device import pgather, pmean_tree
 from ..base import Algorithm, DataInfo, TrainState, apply_eval, apply_train, init_module
 from .common import Tower
 
@@ -29,23 +30,21 @@ class BarlowTwins(Algorithm):
         return TrainState(jnp.zeros((), jnp.int32), params, bstats,
                           self.tx.init(params), {})
 
-    def train_step(self, state, batch, key):
+    def train_step(self, state, batch, key, axis=None):
         def loss_fn(params):
             z1, bs = apply_train(self.model, params, state.batch_stats, batch["aug_1"])
             z2, bs = apply_train(self.model, params, bs, batch["aug_2"])
-            return barlow_twins(z1, z2, **self.loss_cfg), bs
+            # cross-correlation standardizes over the GLOBAL batch
+            return barlow_twins(pgather(z1, axis), pgather(z2, axis),
+                                **self.loss_cfg), bs
 
-        params, opt_state, loss, bstats = self.grad_step(state, loss_fn)
+        params, opt_state, loss, bstats = self.grad_step(
+            state, loss_fn, axis=axis, loss_scope="global")
         new = state.replace(step=state.step + 1, params=params,
-                            batch_stats=bstats, opt_state=opt_state)
+                            batch_stats=pmean_tree(bstats, axis),
+                            opt_state=opt_state)
         return new, {"loss": loss}
 
     def embed(self, state, images):
         z = apply_eval(self.model, state.params, state.batch_stats, images)
         return l2_normalize(z)
-
-    def make_per_device_step(self, batch_fn, mesh):
-        from ...parallel.per_device import make_two_view_per_device_step
-        return make_two_view_per_device_step(
-            self, batch_fn, mesh,
-            lambda z1, z2: barlow_twins(z1, z2, **self.loss_cfg))

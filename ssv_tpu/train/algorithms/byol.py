@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from ...models.heads import byol_mlp
 from ...models.registry import build_encoder
 from ...objectives import byol_mse
+from ...parallel.per_device import pmean_tree
 from ...state.ema import ema_update
 from ...utils.schedules import cosine_ramp
 from ..base import Algorithm, DataInfo, TrainState, apply_eval, apply_train, init_module
@@ -54,8 +55,9 @@ class BYOL(Algorithm):
     def _tau(self, step):
         return cosine_ramp(step, self.total_steps, self.tau_lower, self.tau_upper)
 
-    def train_step(self, state, batch, key):
-        # target forward (no grad path; its own BN stats advance)
+    def train_step(self, state, batch, key, axis=None):
+        # target forward (no grad path; its own BN stats advance — per-device
+        # under shard_map, exactly the torch-DDP semantics of byol.py:120-123)
         t1, t_bs = apply_train(self.target, state.extra["target_params"],
                                state.extra["target_batch_stats"], batch["aug_1"])
         t2, t_bs = apply_train(self.target, state.extra["target_params"],
@@ -66,15 +68,17 @@ class BYOL(Algorithm):
             o2, bs = apply_train(self.online, params, bs, batch["aug_2"])
             return byol_mse(o1, o2, t1, t2), bs
 
-        params, opt_state, loss, bstats = self.grad_step(state, loss_fn)
+        params, opt_state, loss, bstats = self.grad_step(
+            state, loss_fn, axis=axis, loss_scope="local")
 
         tau = self._tau(state.step)
         online_sub = {"encoder": params["encoder"], "proj": params["proj"]}
         t_params = ema_update(state.extra["target_params"], online_sub, tau)
         new = state.replace(
-            step=state.step + 1, params=params, batch_stats=bstats,
-            opt_state=opt_state,
-            extra={"target_params": t_params, "target_batch_stats": t_bs})
+            step=state.step + 1, params=params,
+            batch_stats=pmean_tree(bstats, axis), opt_state=opt_state,
+            extra={"target_params": t_params,
+                   "target_batch_stats": pmean_tree(t_bs, axis)})
         return new, {"loss": loss, "tau": tau}
 
     def embed(self, state, images):

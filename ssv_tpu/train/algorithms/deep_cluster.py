@@ -23,6 +23,7 @@ from ...models.heads import l2_normalize
 from ...models.registry import build_encoder
 from ...objectives import softmax_cross_entropy
 from ...ops.kmeans import kmeans
+from ...parallel.per_device import pmean_tree
 from ..base import Algorithm, DataInfo, TrainState, apply_eval, apply_train, init_module
 
 
@@ -78,7 +79,7 @@ class DeepCluster(Algorithm):
         pseudo = jnp.asarray(lut)[clusters]
         return state.replace(extra={"pseudo_labels": pseudo})
 
-    def train_step(self, state, batch, key):
+    def train_step(self, state, batch, key, axis=None):
         labels = state.extra["pseudo_labels"][batch["index"]]
 
         def loss_fn(params):
@@ -86,10 +87,11 @@ class DeepCluster(Algorithm):
                                           batch["aug_1"])
             return softmax_cross_entropy(logits, labels), bs
 
-        params, opt_state, loss, bstats = self.grad_step(state, loss_fn)
+        params, opt_state, loss, bstats = self.grad_step(
+            state, loss_fn, axis=axis, loss_scope="local")
         new = state.replace(step=state.step + 1, params=params,
-                            batch_stats=bstats, opt_state=opt_state,
-                            extra=state.extra)
+                            batch_stats=pmean_tree(bstats, axis),
+                            opt_state=opt_state, extra=state.extra)
         return new, {"loss": loss}
 
     def embed(self, state, images):

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from ...models.heads import DinoHead
 from ...models.registry import build_encoder
 from ...objectives import dino_loss
+from ...parallel.per_device import pmean_tree
 from ...state.ema import ema_update
 from ...utils.schedules import cosine_ramp, dino_teacher_temp
 from ..base import Algorithm, DataInfo, TrainState, apply_eval, apply_train, init_module
@@ -85,7 +86,7 @@ class DINO(Algorithm):
         b, v = views.shape[:2]
         return views.reshape(b * v, *views.shape[2:]), b, v
 
-    def train_step(self, state, batch, key):
+    def train_step(self, state, batch, key, axis=None):
         g1, b, vg = self._flat(batch["global_1"])
         g2, _, _ = self._flat(batch["global_2"])
         l1, _, vl = self._flat(batch["local_1"])
@@ -116,17 +117,22 @@ class DINO(Algorithm):
                     + 0.5 * dino_loss(t2, s1, self.temp_student, temp_t, center))
             return loss, bs
 
-        params, opt_state, loss, bstats = self.grad_step(state, loss_fn)
+        params, opt_state, loss, bstats = self.grad_step(
+            state, loss_fn, axis=axis, loss_scope="local")
 
-        # center EMA over all teacher global outputs (dino.py:136-141,164)
+        # center EMA over all teacher global outputs (dino.py:136-141,164);
+        # under per-device BN the batch mean is the replica pmean of equal-
+        # size local means, keeping the center replica-consistent
         t_all = jnp.concatenate([t1.reshape(b * vg, -1), t2.reshape(b * vg, -1)], 0)
-        center = self.center_m * center + (1 - self.center_m) * jnp.mean(t_all, 0, keepdims=True)
+        t_mean = pmean_tree(jnp.mean(t_all, 0, keepdims=True), axis)
+        center = self.center_m * center + (1 - self.center_m) * t_mean
 
         new = state.replace(
-            step=state.step + 1, params=params, batch_stats=bstats,
-            opt_state=opt_state,
+            step=state.step + 1, params=params,
+            batch_stats=pmean_tree(bstats, axis), opt_state=opt_state,
             extra={"teacher_params": state.extra["teacher_params"],
-                   "teacher_batch_stats": t_bs, "center": center})
+                   "teacher_batch_stats": pmean_tree(t_bs, axis),
+                   "center": center})
         return new, {"loss": loss}
 
     def post_epoch(self, state, epoch):

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from ...models.heads import LinearHead, l2_normalize
 from ...models.registry import build_encoder
 from ...objectives import moco_nce
+from ...parallel.per_device import pgather, pmean_tree
 from ...state.banks import RingBuffer, ring_push
 from ...state.ema import ema_update
 from ..base import Algorithm, DataInfo, TrainState, apply_eval, apply_train, init_module
@@ -47,80 +48,32 @@ class MoCo(Algorithm):
         return TrainState(jnp.zeros((), jnp.int32), params, bstats,
                           self.tx.init(params), extra)
 
-    def train_step(self, state, batch, key):
+    def train_step(self, state, batch, key, axis=None):
         keys_out, k_bs = apply_train(self.model, state.extra["key_params"],
                                      state.extra["key_batch_stats"], batch["aug_2"])
         keys_out = jax.lax.stop_gradient(keys_out)
 
         def loss_fn(params):
             q, bs = apply_train(self.model, params, state.batch_stats, batch["aug_1"])
+            # positives are per-sample dots, negatives the replicated queue:
+            # a device-local per-sample mean (loss_scope="local" below)
             loss = moco_nce(q, keys_out, state.extra["queue"].data, **self.loss_cfg)
             return loss, bs
 
-        params, opt_state, loss, bstats = self.grad_step(state, loss_fn)
+        params, opt_state, loss, bstats = self.grad_step(
+            state, loss_fn, axis=axis, loss_scope="local")
         key_params = ema_update(state.extra["key_params"], params, self.m)
-        queue = ring_push(state.extra["queue"], l2_normalize(keys_out))
+        # queue must advance by the GLOBAL batch, replica-consistently
+        queue = ring_push(state.extra["queue"],
+                          l2_normalize(pgather(keys_out, axis)))
         new = state.replace(
-            step=state.step + 1, params=params, batch_stats=bstats,
-            opt_state=opt_state,
-            extra={"key_params": key_params, "key_batch_stats": k_bs,
+            step=state.step + 1, params=params,
+            batch_stats=pmean_tree(bstats, axis), opt_state=opt_state,
+            extra={"key_params": key_params,
+                   "key_batch_stats": pmean_tree(k_bs, axis),
                    "queue": queue})
         return new, {"loss": loss}
 
     def embed(self, state, images):
         z = apply_eval(self.model, state.params, state.batch_stats, images)
         return l2_normalize(z)
-
-    def make_per_device_step(self, batch_fn, mesh):
-        """Per-device-BN shard_map step. The queue must stay replica-
-        consistent, so local keys are all_gather-ed before the push; the
-        positives are per-sample dot products (local by construction) and
-        the negatives come from the replicated queue, so the local CE means
-        pmean to the exact global loss."""
-        import optax
-        from jax import lax, shard_map
-        from jax.sharding import PartitionSpec as P
-
-        def local_step(state, images, labels, idx, key):
-            key = jax.random.fold_in(key, lax.axis_index("data"))
-            k_data, _ = jax.random.split(key)
-            batch = batch_fn(images, labels, idx, k_data)
-
-            keys_out, k_bs = apply_train(self.model, state.extra["key_params"],
-                                         state.extra["key_batch_stats"],
-                                         batch["aug_2"])
-            keys_out = jax.lax.stop_gradient(keys_out)
-
-            def loss_fn(params):
-                q, bs = apply_train(self.model, params, state.batch_stats,
-                                    batch["aug_1"])
-                loss = moco_nce(q, keys_out, state.extra["queue"].data,
-                                **self.loss_cfg)
-                return loss, bs
-
-            (loss, bstats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params)
-            grads = lax.psum(grads, "data")
-            loss = lax.pmean(loss, "data")
-            bstats = jax.tree_util.tree_map(lambda x: lax.pmean(x, "data"), bstats)
-            k_bs = jax.tree_util.tree_map(lambda x: lax.pmean(x, "data"), k_bs)
-
-            updates, opt_state = self.tx.update(grads, state.opt_state,
-                                                state.params)
-            params = optax.apply_updates(state.params, updates)
-            key_params = ema_update(state.extra["key_params"], params, self.m)
-            keys_global = lax.all_gather(keys_out, "data", axis=0, tiled=True)
-            queue = ring_push(state.extra["queue"], l2_normalize(keys_global))
-            new = state.replace(
-                step=state.step + 1, params=params, batch_stats=bstats,
-                opt_state=opt_state,
-                extra={"key_params": key_params, "key_batch_stats": k_bs,
-                       "queue": queue})
-            return new, {"loss": loss}
-
-        return shard_map(
-            local_step, mesh=mesh,
-            in_specs=(P(), P(), P(), P("data"), P()),
-            out_specs=(P(), P()),
-            check_vma=False,
-        )

@@ -20,6 +20,7 @@ from flax import linen as nn
 from ...models.heads import l2_normalize
 from ...models.registry import build_encoder
 from ...objectives import pirl_nce
+from ...parallel.per_device import pgather, pmean_tree
 from ...state.banks import (SampleBank, sample_bank_init, sample_bank_set,
                             sample_bank_update, sample_negatives)
 from ..base import Algorithm, DataInfo, TrainState, apply_eval, apply_train, init_module
@@ -95,7 +96,11 @@ class PIRL(Algorithm):
         # normalizes rows on write (pirl.py:34-36)
         return apply_eval(self.model, state.params, state.batch_stats, images)
 
-    def train_step(self, state, batch, key):
+    def train_step(self, state, batch, key, axis=None):
+        # Under per-device BN each replica draws its own patch permutation
+        # and negative set (the key arrives replica-folded) — a documented
+        # divergence that only widens negative diversity vs the reference's
+        # single shared draw (pirl.py:44-46,131-135).
         k_perm, k_neg = jax.random.split(key)
         perm = jax.random.permutation(k_perm, self.num_patches)
         idx = batch["index"]
@@ -111,11 +116,15 @@ class PIRL(Algorithm):
             loss = pirl_nce(img_f, patch_f, mem_pos, mem_neg, **self.loss_cfg)
             return loss, (bs, img_f)
 
-        params, opt_state, loss, (bstats, img_f) = self.grad_step(state, loss_fn)
-        bank = sample_bank_update(bank, idx, jax.lax.stop_gradient(img_f), self.m)
+        params, opt_state, loss, (bstats, img_f) = self.grad_step(
+            state, loss_fn, axis=axis, loss_scope="local")
+        # the per-sample bank scatter covers the GLOBAL batch on every replica
+        bank = sample_bank_update(bank, pgather(idx, axis),
+                                  pgather(jax.lax.stop_gradient(img_f), axis),
+                                  self.m)
         new = state.replace(step=state.step + 1, params=params,
-                            batch_stats=bstats, opt_state=opt_state,
-                            extra={"bank": bank})
+                            batch_stats=pmean_tree(bstats, axis),
+                            opt_state=opt_state, extra={"bank": bank})
         return new, {"loss": loss}
 
     def embed(self, state, images):

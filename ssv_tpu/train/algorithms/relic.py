@@ -11,6 +11,7 @@ import jax.numpy as jnp
 from ...models.heads import byol_mlp
 from ...models.registry import build_encoder
 from ...objectives import relic_loss
+from ...parallel.per_device import pgather, pmean_tree
 from ...state.ema import ema_update
 from ...utils.schedules import cosine_ramp
 from ..base import Algorithm, DataInfo, TrainState, apply_eval, apply_train, init_module
@@ -43,28 +44,36 @@ class ReLIC(Algorithm):
         return TrainState(jnp.zeros((), jnp.int32), params, bstats,
                           self.tx.init(params), extra)
 
-    def train_step(self, state, batch, key):
+    def train_step(self, state, batch, key, axis=None):
         t1, t_bs = apply_train(self.target, state.extra["target_params"],
                                state.extra["target_batch_stats"], batch["aug_1"])
         t2, t_bs = apply_train(self.target, state.extra["target_params"],
                                t_bs, batch["aug_2"])
+        # NT-Xent negatives AND the KL's batch-softmax rows span the GLOBAL
+        # batch, so all five embeddings gather under per-device BN
+        t1g = pgather(jax.lax.stop_gradient(t1), axis)
+        t2g = pgather(jax.lax.stop_gradient(t2), axis)
 
         def loss_fn(params):
             o1, bs = apply_train(self.online, params, state.batch_stats, batch["aug_1"])
             o2, bs = apply_train(self.online, params, bs, batch["aug_2"])
             orig, bs = apply_train(self.online, params, bs, batch["img"])
-            loss = (relic_loss(o1, jax.lax.stop_gradient(t2), orig, **self.loss_cfg)
-                    + relic_loss(o2, jax.lax.stop_gradient(t1), orig, **self.loss_cfg))
+            o1g, o2g = pgather(o1, axis), pgather(o2, axis)
+            origg = pgather(orig, axis)
+            loss = (relic_loss(o1g, t2g, origg, **self.loss_cfg)
+                    + relic_loss(o2g, t1g, origg, **self.loss_cfg))
             return loss, bs
 
-        params, opt_state, loss, bstats = self.grad_step(state, loss_fn)
+        params, opt_state, loss, bstats = self.grad_step(
+            state, loss_fn, axis=axis, loss_scope="global")
         tau = cosine_ramp(state.step, self.total_steps, self.tau_lower, self.tau_upper)
         online_sub = {"encoder": params["encoder"], "proj": params["proj"]}
         t_params = ema_update(state.extra["target_params"], online_sub, tau)
         new = state.replace(
-            step=state.step + 1, params=params, batch_stats=bstats,
-            opt_state=opt_state,
-            extra={"target_params": t_params, "target_batch_stats": t_bs})
+            step=state.step + 1, params=params,
+            batch_stats=pmean_tree(bstats, axis), opt_state=opt_state,
+            extra={"target_params": t_params,
+                   "target_batch_stats": pmean_tree(t_bs, axis)})
         return new, {"loss": loss}
 
     def embed(self, state, images):

@@ -19,6 +19,7 @@ from flax import linen as nn
 from ...models.heads import ClusterHeads
 from ...models.registry import build_encoder
 from ...objectives import sela_self_label, softmax_cross_entropy
+from ...parallel.per_device import pmean_tree
 from ..base import Algorithm, DataInfo, TrainState, apply_eval, apply_train, init_module
 
 
@@ -45,11 +46,14 @@ class SeLA(Algorithm):
         self.num_heads = int(config["num_cluster_heads"])
         self.lmbda = float(config["lambda"])
         self.sl_iters = int(config["self_label_iters"])
-        # "reference" reproduces sela.py:146-166 (log_softmax^lambda with
-        # randn alpha/beta — collapse-prone; see VALIDATION.md). "sinkhorn"
-        # is the SeLA paper's actual optimal-transport labelling: uniform-
-        # marginal Sinkhorn over softmax scores, argmax per sample.
-        self.sl_mode = str(config.get("self_label_mode", "reference"))
+        # "sinkhorn" (default) is the SeLA paper's actual optimal-transport
+        # labelling: uniform-marginal Sinkhorn over softmax scores, argmax
+        # per sample — guaranteed non-degenerate marginals. "reference"
+        # reproduces sela.py:146-166 (log_softmax^lambda with randn
+        # alpha/beta), which is collapse-prone by construction (loss -> 0
+        # with all-one-cluster labels; VALIDATION.md) and is therefore kept
+        # behind the flag rather than as the default.
+        self.sl_mode = str(config.get("self_label_mode", "sinkhorn"))
         encoder, dim = build_encoder(arch, config.get("encoder"))
         self.model = SelaNet(encoder=encoder, num_clusters=self.num_clusters,
                              num_heads=self.num_heads)
@@ -112,7 +116,7 @@ class SeLA(Algorithm):
         return state
 
     # ------------------------------------------------------------------
-    def train_step(self, state, batch, key):
+    def train_step(self, state, batch, key, axis=None):
         labels = state.extra["pseudo_labels"][batch["idx"]]
 
         def loss_fn(params):
@@ -121,10 +125,15 @@ class SeLA(Algorithm):
             per_head = jax.vmap(lambda lg: softmax_cross_entropy(lg, labels))(logits)
             return jnp.sum(per_head), (bs, per_head)
 
-        params, opt_state, loss, (bstats, per_head) = self.grad_step(state, loss_fn)
+        params, opt_state, loss, (bstats, per_head) = self.grad_step(
+            state, loss_fn, axis=axis, loss_scope="local")
+        # best_head must be chosen from the GLOBAL per-head losses so every
+        # replica agrees (sela.py:132-144 semantics)
+        per_head = pmean_tree(per_head, axis)
         extra = {**state.extra, "best_head": jnp.argmin(per_head).astype(jnp.int32)}
         new = state.replace(step=state.step + 1, params=params,
-                            batch_stats=bstats, opt_state=opt_state, extra=extra)
+                            batch_stats=pmean_tree(bstats, axis),
+                            opt_state=opt_state, extra=extra)
         return new, {"loss": loss}
 
     def embed(self, state, images):

@@ -8,6 +8,7 @@ import jax.numpy as jnp
 from ...models.heads import l2_normalize, simclr_projection
 from ...models.registry import build_encoder
 from ...objectives import nt_xent
+from ...parallel.per_device import pgather, pmean_tree
 from ..base import Algorithm, DataInfo, TrainState, apply_eval, apply_train, init_module
 from .common import Tower
 
@@ -29,25 +30,21 @@ class SimCLR(Algorithm):
         return TrainState(jnp.zeros((), jnp.int32), params, bstats,
                           self.tx.init(params), {})
 
-    def train_step(self, state, batch, key):
+    def train_step(self, state, batch, key, axis=None):
         def loss_fn(params):
             z1, bs = apply_train(self.model, params, state.batch_stats, batch["aug_1"])
             z2, bs = apply_train(self.model, params, bs, batch["aug_2"])
-            return nt_xent(z1, z2, **self.loss_cfg), bs
+            # negatives are the GLOBAL batch even under per-device BN
+            return nt_xent(pgather(z1, axis), pgather(z2, axis),
+                           **self.loss_cfg), bs
 
-        params, opt_state, loss, bstats = self.grad_step(state, loss_fn)
+        params, opt_state, loss, bstats = self.grad_step(
+            state, loss_fn, axis=axis, loss_scope="global")
         new = state.replace(step=state.step + 1, params=params,
-                            batch_stats=bstats, opt_state=opt_state)
+                            batch_stats=pmean_tree(bstats, axis),
+                            opt_state=opt_state)
         return new, {"loss": loss}
 
     def embed(self, state, images):
         z = apply_eval(self.model, state.params, state.batch_stats, images)
         return l2_normalize(z)
-
-    def make_per_device_step(self, batch_fn, mesh):
-        """Per-device-BN variant (config `per_device_bn: true`); negatives
-        are still global via all_gather. See parallel/per_device.py."""
-        from ...parallel.per_device import make_two_view_per_device_step
-        return make_two_view_per_device_step(
-            self, batch_fn, mesh,
-            lambda z1, z2: nt_xent(z1, z2, **self.loss_cfg))

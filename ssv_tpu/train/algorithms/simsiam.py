@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from ...models.heads import simsiam_predictor, simsiam_projector
 from ...models.registry import build_encoder
 from ...objectives import simsiam_neg_cosine
+from ...parallel.per_device import pmean_tree
 from ..base import Algorithm, DataInfo, TrainState, apply_eval, apply_train, init_module
 from .common import Tower
 
@@ -54,7 +55,7 @@ class SimSiam(Algorithm):
         return TrainState(jnp.zeros((), jnp.int32), params, bstats,
                           self.tx.init(params), extra)
 
-    def train_step(self, state, batch, key):
+    def train_step(self, state, batch, key, axis=None):
         if self.mode == "frozen":
             t1, t_bs = apply_train(self.target, state.extra["target_params"],
                                    state.extra["target_batch_stats"], batch["aug_1"])
@@ -67,9 +68,10 @@ class SimSiam(Algorithm):
                 loss = 0.5 * (simsiam_neg_cosine(o1, t2) + simsiam_neg_cosine(o2, t1))
                 return loss, bs
 
-            params, opt_state, loss, bstats = self.grad_step(state, loss_fn)
+            params, opt_state, loss, bstats = self.grad_step(
+                state, loss_fn, axis=axis, loss_scope="local")
             extra = {"target_params": state.extra["target_params"],
-                     "target_batch_stats": t_bs}
+                     "target_batch_stats": pmean_tree(t_bs, axis)}
         else:
             def loss_fn(params):
                 o1, bs = apply_train(self.online, params, state.batch_stats, batch["aug_1"])
@@ -82,11 +84,13 @@ class SimSiam(Algorithm):
                 loss = 0.5 * (simsiam_neg_cosine(o1, z2) + simsiam_neg_cosine(o2, z1))
                 return loss, bs
 
-            params, opt_state, loss, bstats = self.grad_step(state, loss_fn)
+            params, opt_state, loss, bstats = self.grad_step(
+                state, loss_fn, axis=axis, loss_scope="local")
             extra = state.extra
 
         new = state.replace(step=state.step + 1, params=params,
-                            batch_stats=bstats, opt_state=opt_state, extra=extra)
+                            batch_stats=pmean_tree(bstats, axis),
+                            opt_state=opt_state, extra=extra)
         return new, {"loss": loss}
 
     def embed(self, state, images):

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 from ...models.heads import Prototypes, swav_projection
 from ...models.registry import build_encoder
 from ...objectives import swav_loss
+from ...parallel.per_device import pgather, pmean_tree
 from ...state.banks import RingBuffer, ring_push
 from ..base import Algorithm, DataInfo, TrainState, apply_eval, apply_train, init_module
 from .common import Tower
@@ -50,24 +51,27 @@ class SwAV(Algorithm):
         rows = jnp.asarray(fvecs[-self.bank_size:])
         return state.replace(extra={"bank": ring_push(state.extra["bank"], rows)})
 
-    def train_step(self, state, batch, key):
+    def train_step(self, state, batch, key, axis=None):
         bank = state.extra["bank"]
 
         def loss_fn(params):
             z1, bs = apply_train(self.model, params["model"], state.batch_stats,
                                  batch["aug_1"])
             z2, bs = apply_train(self.model, params["model"], bs, batch["aug_2"])
+            # Sinkhorn's row/column marginals span the GLOBAL batch (+ bank)
+            z1g, z2g = pgather(z1, axis), pgather(z2, axis)
             protos = self.prototypes.apply({"params": params["prototypes"]})
-            loss = swav_loss(z1, z2, protos, bank_features=bank.data,
+            loss = swav_loss(z1g, z2g, protos, bank_features=bank.data,
                              **self.loss_cfg)
-            return loss, (bs, z1, z2)
+            return loss, (bs, z1g, z2g)
 
-        params, opt_state, loss, (bstats, z1, z2) = self.grad_step(state, loss_fn)
+        params, opt_state, loss, (bstats, z1g, z2g) = self.grad_step(
+            state, loss_fn, axis=axis, loss_scope="global")
         new_bank = ring_push(bank, jax.lax.stop_gradient(
-            jnp.concatenate([z1, z2], axis=0)))
+            jnp.concatenate([z1g, z2g], axis=0)))
         new = state.replace(step=state.step + 1, params=params,
-                            batch_stats=bstats, opt_state=opt_state,
-                            extra={"bank": new_bank})
+                            batch_stats=pmean_tree(bstats, axis),
+                            opt_state=opt_state, extra={"bank": new_bank})
         return new, {"loss": loss}
 
     def embed(self, state, images):

@@ -79,7 +79,10 @@ class Algorithm:
     def init_state(self, rng) -> TrainState:
         raise NotImplementedError
 
-    def train_step(self, state: TrainState, batch: dict, key):
+    def train_step(self, state: TrainState, batch: dict, key, axis=None):
+        """One optimizer step. `axis=None` is the ordinary jit-sharded
+        (sync-BN) path; `axis="data"` runs device-locally inside shard_map
+        with explicit collectives (parallel/per_device.py contract)."""
         raise NotImplementedError
 
     def embed(self, state: TrainState, images):
@@ -102,10 +105,10 @@ class Algorithm:
 
     def make_per_device_step(self, batch_fn, mesh):
         """shard_map step with per-device BN stats (config `per_device_bn`).
-        Only meaningful for algorithms whose state is pure params+BN;
-        see parallel/per_device.py."""
-        raise NotImplementedError(
-            f"per_device_bn is not supported for {self.name}")
+        Generic for every algorithm: train_step is axis-aware — see
+        parallel/per_device.py for the collective contract."""
+        from ..parallel.per_device import make_per_device_step
+        return make_per_device_step(self, batch_fn, mesh)
 
     # -- shared helpers -------------------------------------------------
     def lr_fn(self) -> Callable:
@@ -125,10 +128,25 @@ class Algorithm:
     def epoch_of(self, step):
         return step // self.data.steps_per_epoch
 
-    def grad_step(self, state: TrainState, loss_fn):
+    def grad_step(self, state: TrainState, loss_fn, axis=None,
+                  loss_scope: str = "local"):
         """value_and_grad + optimizer update. `loss_fn(params) -> (loss, aux)`
-        where aux carries at least the updated batch_stats."""
+        where aux carries at least the updated batch_stats.
+
+        Under shard_map (`axis` set) gradients are reduced across replicas
+        with the collective matching how the loss was built:
+          * loss_scope="global" — loss computed identically on every replica
+            from all_gather-ed embeddings: replica grads are additive shares
+            through the gather transpose -> psum;
+          * loss_scope="local" — loss is a device-local per-sample mean:
+            the global loss is the replica pmean -> pmean of grads.
+        """
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if axis is not None:
+            from jax import lax
+            red = lax.psum if loss_scope == "global" else lax.pmean
+            grads = jax.tree_util.tree_map(lambda g: red(g, axis), grads)
+            loss = lax.pmean(loss, axis)
         import optax
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

@@ -34,20 +34,48 @@ def test_batch_call_matches_per_example():
                                    atol=1e-5)
 
 
-def test_sela_sinkhorn_mode(tmp_path):
+def _sela_trainer(tmp_path, mode=None):
     import yaml
     from helpers import mini_config
     from ssv_tpu.train import Trainer
 
     cfg = mini_config("sela")
-    cfg["self_label_mode"] = "sinkhorn"
-    p = tmp_path / "s.yaml"
+    if mode is not None:
+        cfg["self_label_mode"] = mode
+    p = tmp_path / f"sela-{mode}.yaml"
     with open(p, "w") as f:
         yaml.dump(cfg, f)
     args = {"config": str(p), "algo": "sela", "arch": "tiny",
-            "task": "train", "output": "sk", "load": None}
-    t = Trainer(args, synthetic_sizes=(64, 32))
+            "task": "train", "output": f"sk-{mode}", "load": None}
+    return Trainer(args, synthetic_sizes=(64, 32))
+
+
+def test_sela_default_is_sinkhorn_and_does_not_collapse(tmp_path):
+    """Regression for the round-1 collapse: the default self-labelling must
+    be the paper's Sinkhorn (uniform marginals), and the pseudo-label
+    distribution after a labelling round + a training epoch must keep
+    entropy >= 0.5 * log(K) (VERDICT round-1 item 4)."""
+    t = _sela_trainer(tmp_path, mode=None)   # no key in config -> default
+    assert t.algorithm.sl_mode == "sinkhorn"
+
+    state = t.algorithm.pre_train(t.state, t)
+    images, labels = t._train_arrays
+    idx_mat = t.pipeline.epoch_indices(jax.random.PRNGKey(1))
+    state, _ = t._epoch_fn(state, images, labels, idx_mat, jax.random.PRNGKey(2))
+    # re-label with the trained head, as the quadratic milestones would
+    state = t.algorithm._self_label(state, t)
+
+    pl = np.asarray(state.extra["pseudo_labels"])
+    k = t.algorithm.num_clusters
+    counts = np.bincount(pl, minlength=k).astype(np.float64)
+    p = counts / counts.sum()
+    entropy = -(p[p > 0] * np.log(p[p > 0])).sum()
+    assert entropy >= 0.5 * np.log(k), (entropy, counts)
+
+
+def test_sela_reference_mode_still_available(tmp_path):
+    t = _sela_trainer(tmp_path, mode="reference")
+    assert t.algorithm.sl_mode == "reference"
     state = t.algorithm.pre_train(t.state, t)
     pl = np.asarray(state.extra["pseudo_labels"])
-    # sinkhorn labelling with uniform marginals should not collapse
-    assert len(set(pl.tolist())) > 1
+    assert pl.shape == (64,) and pl.min() >= 0

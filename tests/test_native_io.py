@@ -112,3 +112,31 @@ def test_synthetic_fallback_refusable(tmp_path):
     ds = load_dataset("cifar10", str(tmp_path / "nope"),
                       synthetic_sizes=(100, 50))
     assert ds.synthetic and ds.train.images.shape == (100, 32, 32, 3)
+
+
+def test_synth100_hard_benchmark_properties():
+    """The non-saturating benchmark (VERDICT round-1 item 1b): 100 classes,
+    deterministic, and — the defining property — raw-pixel nearest-neighbor
+    similarity must be nearly useless (the class signal is the texture power
+    spectrum; phase is per-instance nuisance), so few-epoch KNN can rank
+    algorithms instead of pinning at ~1.0."""
+    import numpy as np
+
+    from ssv_tpu.data.datasets import load_dataset
+
+    ds = load_dataset("synth100", root=None, synthetic_sizes=(800, 400))
+    assert ds.num_classes == 100 and ds.synthetic
+    assert ds.train.images.shape == (800, 32, 32, 3)
+    assert ds.train.images.dtype == np.uint8
+    assert len(set(ds.train.labels.tolist())) > 50
+
+    ds2 = load_dataset("synth100", root=None, synthetic_sizes=(800, 400))
+    np.testing.assert_array_equal(ds.train.images, ds2.train.images)
+
+    x = ds.test.images.reshape(400, -1).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    sim = x @ x.T
+    np.fill_diagonal(sim, -np.inf)
+    nn = np.argsort(-sim, axis=1)[:, :20]
+    raw_knn = (ds.test.labels[nn] == ds.test.labels[:, None]).mean()
+    assert raw_knn < 0.25, raw_knn   # chance is 0.01; easy-synthetic is ~1.0
