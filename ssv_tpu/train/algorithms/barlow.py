@@ -9,8 +9,8 @@ from ...models.heads import barlow_projection, l2_normalize
 from ...models.registry import build_encoder
 from ...objectives import barlow_twins
 from ...parallel.per_device import pgather, pmean_tree
-from ..base import Algorithm, DataInfo, TrainState, apply_eval, apply_train, init_module
-from .common import Tower
+from ..base import Algorithm, DataInfo, TrainState, apply_eval, init_module
+from .common import Tower, forward_views
 
 
 class BarlowTwins(Algorithm):
@@ -23,6 +23,7 @@ class BarlowTwins(Algorithm):
         self.model = Tower(encoder=encoder,
                            proj=barlow_projection(int(config["proj_dim"])))
         self.loss_cfg = dict(config.get("loss_fn", {}) or {})
+        self.fuse = bool(config.get("fuse_views", False))
         self.tx = self.make_tx()
 
     def init_state(self, rng) -> TrainState:
@@ -32,8 +33,9 @@ class BarlowTwins(Algorithm):
 
     def train_step(self, state, batch, key, axis=None):
         def loss_fn(params):
-            z1, bs = apply_train(self.model, params, state.batch_stats, batch["aug_1"])
-            z2, bs = apply_train(self.model, params, bs, batch["aug_2"])
+            (z1, z2), bs = forward_views(self.model, params, state.batch_stats,
+                                         [batch["aug_1"], batch["aug_2"]],
+                                         self.fuse)
             # cross-correlation standardizes over the GLOBAL batch
             return barlow_twins(pgather(z1, axis), pgather(z2, axis),
                                 **self.loss_cfg), bs

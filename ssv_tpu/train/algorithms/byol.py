@@ -23,8 +23,8 @@ from ...objectives import byol_mse
 from ...parallel.per_device import pmean_tree
 from ...state.ema import ema_update
 from ...utils.schedules import cosine_ramp
-from ..base import Algorithm, DataInfo, TrainState, apply_eval, apply_train, init_module
-from .common import Tower
+from ..base import Algorithm, DataInfo, TrainState, apply_eval, init_module
+from .common import Tower, forward_views
 
 
 class BYOL(Algorithm):
@@ -42,6 +42,7 @@ class BYOL(Algorithm):
                             norm_out=True)
         self.tau_lower = float(config.get("tau_lower", config.get("tau", 0.996)))
         self.tau_upper = float(config.get("tau_upper", 1.0))
+        self.fuse = bool(config.get("fuse_views", False))
         self.tx = self.make_tx()
 
     def init_state(self, rng) -> TrainState:
@@ -58,14 +59,15 @@ class BYOL(Algorithm):
     def train_step(self, state, batch, key, axis=None):
         # target forward (no grad path; its own BN stats advance — per-device
         # under shard_map, exactly the torch-DDP semantics of byol.py:120-123)
-        t1, t_bs = apply_train(self.target, state.extra["target_params"],
-                               state.extra["target_batch_stats"], batch["aug_1"])
-        t2, t_bs = apply_train(self.target, state.extra["target_params"],
-                               t_bs, batch["aug_2"])
+        (t1, t2), t_bs = forward_views(
+            self.target, state.extra["target_params"],
+            state.extra["target_batch_stats"],
+            [batch["aug_1"], batch["aug_2"]], self.fuse)
 
         def loss_fn(params):
-            o1, bs = apply_train(self.online, params, state.batch_stats, batch["aug_1"])
-            o2, bs = apply_train(self.online, params, bs, batch["aug_2"])
+            (o1, o2), bs = forward_views(self.online, params, state.batch_stats,
+                                         [batch["aug_1"], batch["aug_2"]],
+                                         self.fuse)
             return byol_mse(o1, o2, t1, t2), bs
 
         params, opt_state, loss, bstats = self.grad_step(

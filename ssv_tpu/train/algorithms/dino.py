@@ -26,8 +26,8 @@ from ...objectives import dino_loss
 from ...parallel.per_device import pmean_tree
 from ...state.ema import ema_update
 from ...utils.schedules import cosine_ramp, dino_teacher_temp
-from ..base import Algorithm, DataInfo, TrainState, apply_eval, apply_train, init_module
-from .common import Tower
+from ..base import Algorithm, DataInfo, TrainState, apply_eval, init_module
+from .common import Tower, forward_views
 
 
 class DINO(Algorithm):
@@ -58,6 +58,11 @@ class DINO(Algorithm):
         mc = dict(config["data"]["multicrop_config"])
         self.global_size = tuple(mc["global_size"])
         self.local_size = tuple(mc["local_size"])
+        # fuse_views=true: teacher 2 global forwards -> 1; student 2 global
+        # + 2 local forwards -> 1 + 1. EXACT for ViT (LayerNorm only, no
+        # cross-sample coupling); a documented BN-batch choice for ResNet.
+        # Biggest win on the tiny local crops, which underfill the MXU.
+        self.fuse = bool(config.get("fuse_views", False))
 
         spe = data.steps_per_epoch
 
@@ -98,19 +103,20 @@ class DINO(Algorithm):
                                    warmup_epochs=self.temp_warmup_epochs)
 
         # teacher on global views only (no grad; its BN stats advance)
-        t1, t_bs = apply_train(self.teacher, state.extra["teacher_params"],
-                               state.extra["teacher_batch_stats"], g1)
-        t2, t_bs = apply_train(self.teacher, state.extra["teacher_params"], t_bs, g2)
+        (t1, t2), t_bs = forward_views(
+            self.teacher, state.extra["teacher_params"],
+            state.extra["teacher_batch_stats"], [g1, g2], self.fuse)
         t1 = jax.lax.stop_gradient(t1).reshape(b, vg, -1)
         t2 = jax.lax.stop_gradient(t2).reshape(b, vg, -1)
 
         center = state.extra["center"]
 
         def loss_fn(params):
-            sg1, bs = apply_train(self.student, params, state.batch_stats, g1)
-            sg2, bs = apply_train(self.student, params, bs, g2)
-            sl1, bs = apply_train(self.student, params, bs, l1)
-            sl2, bs = apply_train(self.student, params, bs, l2)
+            (sg1, sg2), bs = forward_views(self.student, params,
+                                           state.batch_stats, [g1, g2],
+                                           self.fuse)
+            (sl1, sl2), bs = forward_views(self.student, params, bs, [l1, l2],
+                                           self.fuse)
             s1 = jnp.concatenate([sg1.reshape(b, vg, -1), sl1.reshape(b, vl, -1)], 1)
             s2 = jnp.concatenate([sg2.reshape(b, vg, -1), sl2.reshape(b, vl, -1)], 1)
             loss = (0.5 * dino_loss(t1, s2, self.temp_student, temp_t, center)

@@ -14,8 +14,8 @@ from ...objectives import relic_loss
 from ...parallel.per_device import pgather, pmean_tree
 from ...state.ema import ema_update
 from ...utils.schedules import cosine_ramp
-from ..base import Algorithm, DataInfo, TrainState, apply_eval, apply_train, init_module
-from .common import Tower
+from ..base import Algorithm, DataInfo, TrainState, apply_eval, init_module
+from .common import Tower, forward_views
 
 
 class ReLIC(Algorithm):
@@ -34,6 +34,10 @@ class ReLIC(Algorithm):
         self.tau_lower = float(config.get("tau_lower", config.get("tau", 0.996)))
         self.tau_upper = float(config.get("tau_upper", 1.0))
         self.loss_cfg = dict(config.get("loss_fn", {}) or {})
+        # fuse_views=true: target's 2 forwards -> 1, online's 3 forwards
+        # (aug_1/aug_2/orig) -> 1 of a 3N batch — the hottest fix for
+        # ReLIC's four-forwards-per-step cost (VERDICT r1 item 7)
+        self.fuse = bool(config.get("fuse_views", False))
         self.tx = self.make_tx()
 
     def init_state(self, rng) -> TrainState:
@@ -45,19 +49,19 @@ class ReLIC(Algorithm):
                           self.tx.init(params), extra)
 
     def train_step(self, state, batch, key, axis=None):
-        t1, t_bs = apply_train(self.target, state.extra["target_params"],
-                               state.extra["target_batch_stats"], batch["aug_1"])
-        t2, t_bs = apply_train(self.target, state.extra["target_params"],
-                               t_bs, batch["aug_2"])
+        (t1, t2), t_bs = forward_views(
+            self.target, state.extra["target_params"],
+            state.extra["target_batch_stats"],
+            [batch["aug_1"], batch["aug_2"]], self.fuse)
         # NT-Xent negatives AND the KL's batch-softmax rows span the GLOBAL
         # batch, so all five embeddings gather under per-device BN
         t1g = pgather(jax.lax.stop_gradient(t1), axis)
         t2g = pgather(jax.lax.stop_gradient(t2), axis)
 
         def loss_fn(params):
-            o1, bs = apply_train(self.online, params, state.batch_stats, batch["aug_1"])
-            o2, bs = apply_train(self.online, params, bs, batch["aug_2"])
-            orig, bs = apply_train(self.online, params, bs, batch["img"])
+            (o1, o2, orig), bs = forward_views(
+                self.online, params, state.batch_stats,
+                [batch["aug_1"], batch["aug_2"], batch["img"]], self.fuse)
             o1g, o2g = pgather(o1, axis), pgather(o2, axis)
             origg = pgather(orig, axis)
             loss = (relic_loss(o1g, t2g, origg, **self.loss_cfg)

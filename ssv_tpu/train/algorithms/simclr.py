@@ -23,6 +23,11 @@ class SimCLR(Algorithm):
         self.model = Tower(encoder=encoder,
                            proj=simclr_projection(dim, int(config["proj_dim"])))
         self.loss_cfg = dict(config.get("loss_fn", {}) or {})
+        # fuse_views=true runs both views through ONE forward of a 2N batch
+        # (the SimCLR paper's actual formulation; halves kernel launches and
+        # doubles the MXU batch). Default false = the reference's two
+        # sequential forwards with per-view BN statistics.
+        self.fuse = bool(config.get("fuse_views", False))
         self.tx = self.make_tx()
 
     def init_state(self, rng) -> TrainState:
@@ -32,8 +37,15 @@ class SimCLR(Algorithm):
 
     def train_step(self, state, batch, key, axis=None):
         def loss_fn(params):
-            z1, bs = apply_train(self.model, params, state.batch_stats, batch["aug_1"])
-            z2, bs = apply_train(self.model, params, bs, batch["aug_2"])
+            if self.fuse:
+                zb, bs = apply_train(self.model, params, state.batch_stats,
+                                     jnp.concatenate([batch["aug_1"],
+                                                      batch["aug_2"]], 0))
+                z1, z2 = jnp.split(zb, 2, axis=0)
+            else:
+                z1, bs = apply_train(self.model, params, state.batch_stats,
+                                     batch["aug_1"])
+                z2, bs = apply_train(self.model, params, bs, batch["aug_2"])
             # negatives are the GLOBAL batch even under per-device BN
             return nt_xent(pgather(z1, axis), pgather(z2, axis),
                            **self.loss_cfg), bs

@@ -21,7 +21,7 @@ from ...models.registry import build_encoder
 from ...objectives import simsiam_neg_cosine
 from ...parallel.per_device import pmean_tree
 from ..base import Algorithm, DataInfo, TrainState, apply_eval, apply_train, init_module
-from .common import Tower
+from .common import Tower, forward_views
 
 
 class SimSiam(Algorithm):
@@ -39,6 +39,7 @@ class SimSiam(Algorithm):
                             pred=simsiam_predictor(proj_dim, bottleneck),
                             norm_out=True)
         self.mode = str(config.get("target_mode", "stopgrad"))
+        self.fuse = bool(config.get("fuse_views", False))
         if self.mode == "frozen":
             encoder_t, _ = build_encoder(arch, config.get("encoder"))
             self.target = Tower(encoder=encoder_t,
@@ -57,14 +58,15 @@ class SimSiam(Algorithm):
 
     def train_step(self, state, batch, key, axis=None):
         if self.mode == "frozen":
-            t1, t_bs = apply_train(self.target, state.extra["target_params"],
-                                   state.extra["target_batch_stats"], batch["aug_1"])
-            t2, t_bs = apply_train(self.target, state.extra["target_params"],
-                                   t_bs, batch["aug_2"])
+            (t1, t2), t_bs = forward_views(
+                self.target, state.extra["target_params"],
+                state.extra["target_batch_stats"],
+                [batch["aug_1"], batch["aug_2"]], self.fuse)
 
             def loss_fn(params):
-                o1, bs = apply_train(self.online, params, state.batch_stats, batch["aug_1"])
-                o2, bs = apply_train(self.online, params, bs, batch["aug_2"])
+                (o1, o2), bs = forward_views(
+                    self.online, params, state.batch_stats,
+                    [batch["aug_1"], batch["aug_2"]], self.fuse)
                 loss = 0.5 * (simsiam_neg_cosine(o1, t2) + simsiam_neg_cosine(o2, t1))
                 return loss, bs
 
@@ -74,13 +76,23 @@ class SimSiam(Algorithm):
                      "target_batch_stats": pmean_tree(t_bs, axis)}
         else:
             def loss_fn(params):
-                o1, bs = apply_train(self.online, params, state.batch_stats, batch["aug_1"])
-                o2, bs = apply_train(self.online, params, bs, batch["aug_2"])
-                # target branch: projector output, no predictor, stop-grad
-                z1, bs = apply_train(self.online, params, bs, batch["aug_1"],
-                                     use_pred=False)
-                z2, bs = apply_train(self.online, params, bs, batch["aug_2"],
-                                     use_pred=False)
+                # ONE pass per view yields both branches: the target branch
+                # (projector output, stop-grad in the loss) is an
+                # intermediate of the predictor path — the reference's
+                # 4-forward structure re-computes it (simsiam.py:122-132)
+                if self.fuse:
+                    (zb, ob), bs = apply_train(
+                        self.online, params, state.batch_stats,
+                        jnp.concatenate([batch["aug_1"], batch["aug_2"]], 0),
+                        return_pair=True)
+                    z1, z2 = jnp.split(zb, 2, axis=0)
+                    o1, o2 = jnp.split(ob, 2, axis=0)
+                else:
+                    (z1, o1), bs = apply_train(self.online, params,
+                                               state.batch_stats,
+                                               batch["aug_1"], return_pair=True)
+                    (z2, o2), bs = apply_train(self.online, params, bs,
+                                               batch["aug_2"], return_pair=True)
                 loss = 0.5 * (simsiam_neg_cosine(o1, z2) + simsiam_neg_cosine(o2, z1))
                 return loss, bs
 

@@ -14,8 +14,8 @@ from ...models.registry import build_encoder
 from ...objectives import swav_loss
 from ...parallel.per_device import pgather, pmean_tree
 from ...state.banks import RingBuffer, ring_push
-from ..base import Algorithm, DataInfo, TrainState, apply_eval, apply_train, init_module
-from .common import Tower
+from ..base import Algorithm, DataInfo, TrainState, apply_eval, init_module
+from .common import Tower, forward_views
 
 
 class SwAV(Algorithm):
@@ -32,6 +32,7 @@ class SwAV(Algorithm):
         self.prototypes = Prototypes(int(config["prototype_size"]), self.proj_dim)
         self.bank_size = int(config["feature_bank_size"])
         self.loss_cfg = dict(config.get("loss_fn", {}) or {})
+        self.fuse = bool(config.get("fuse_views", False))
         self.tx = self.make_tx()
 
     def init_state(self, rng) -> TrainState:
@@ -55,9 +56,10 @@ class SwAV(Algorithm):
         bank = state.extra["bank"]
 
         def loss_fn(params):
-            z1, bs = apply_train(self.model, params["model"], state.batch_stats,
-                                 batch["aug_1"])
-            z2, bs = apply_train(self.model, params["model"], bs, batch["aug_2"])
+            (z1, z2), bs = forward_views(self.model, params["model"],
+                                         state.batch_stats,
+                                         [batch["aug_1"], batch["aug_2"]],
+                                         self.fuse)
             # Sinkhorn's row/column marginals span the GLOBAL batch (+ bank)
             z1g, z2g = pgather(z1, axis), pgather(z2, axis)
             protos = self.prototypes.apply({"params": params["prototypes"]})
