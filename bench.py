@@ -9,13 +9,18 @@ jitted program (one host dispatch per epoch). Timing is forced honest by
 fetching the final loss, which depends on the whole step chain.
 
 Baseline: the reference publishes no throughput numbers (SURVEY.md §6).
-BASELINE.json's target is >=10x the reference pipeline's rate. The reference
-implementation (PyTorch, PIL augmentation in 4 DataLoader workers, per-step
-H2D copies; models/simclr.py) sustains ~2,000 img/s on a single V100-class
-GPU for ResNet-18/CIFAR two-view SSL, gated by host-side augmentation — we
-use 2,000 img/s as `baseline` for `vs_baseline`.
+BASELINE.json's target is >=10x the reference pipeline's rate. The
+reference's train loop is gated by its host-side data path (PIL augmentation
+in 4 DataLoader workers + per-step H2D, models/simclr.py); we MEASURE that
+path's throughput ceiling on this machine with
+scripts/measure_host_baseline.py and read the result from
+BASELINE_MEASURED.json (falling back to the round-1 2,000 img/s estimate of
+a V100-class reference setup if the measurement has not been run).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Also reports MFU: XLA's own cost analysis of the compiled epoch program
+gives exact FLOPs; divided by wall time and the v5e's 197 bf16-TFLOP/s peak.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
@@ -24,9 +29,31 @@ import json
 import os
 import time
 
-BASELINE_IMG_PER_SEC = 2000.0
+BASELINE_IMG_PER_SEC = 2000.0  # estimate; overridden by BASELINE_MEASURED.json
+V5E_PEAK_FLOPS = 197e12        # bf16 peak of one v5e chip
 BATCH = 512
 SCAN_STEPS = 100
+
+
+def _measured_baseline() -> tuple[float, str, float | None]:
+    """Denominator for vs_baseline. We take the CONSERVATIVE max of the
+    V100-class estimate and the measured same-host reference-pipeline
+    ceiling: this box has 1 CPU, so its measured 549 img/s PIL pipeline
+    would *inflate* vs_baseline ~4x if used alone. Both numbers are
+    reported so the claim is auditable."""
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BASELINE_MEASURED.json")
+    measured = None
+    try:
+        with open(p) as f:
+            measured = float(json.load(f)["value"])
+    except (OSError, KeyError, ValueError):
+        pass
+    if measured is not None and measured > BASELINE_IMG_PER_SEC:
+        return measured, "measured reference host pipeline (this machine)", measured
+    return (BASELINE_IMG_PER_SEC,
+            "estimated V100-class reference pipeline (conservative: exceeds "
+            "the measured same-host ceiling)", measured)
 
 
 def main():
@@ -88,6 +115,20 @@ def main():
         flat = jnp.concatenate([perm] * reps)[: SCAN_STEPS * BATCH]
         return flat.reshape(SCAN_STEPS, BATCH)
 
+    # exact per-step FLOPs from XLA's cost model of the compiled train step
+    # (augmentation + fwd/bwd + optimizer); the epoch program is SCAN_STEPS
+    # identical steps, so flops/epoch = SCAN_STEPS * flops/step
+    step_flops = None
+    try:
+        cost = (jax.jit(train_step)
+                .lower(state, images, idx_mat_for(0)[0], jax.random.PRNGKey(0))
+                .compile().cost_analysis())
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        step_flops = float(cost["flops"])
+    except Exception:
+        pass
+
     # compile + warmup
     state, losses = epoch(state, images, idx_mat_for(0), jax.random.PRNGKey(0))
     float(losses[-1])
@@ -100,12 +141,22 @@ def main():
     n_chips = jax.device_count()
     ips = BATCH * SCAN_STEPS / dt / n_chips
     assert np.isfinite(final_loss)
-    print(json.dumps({
+    baseline, baseline_src, measured = _measured_baseline()
+    out = {
         "metric": "ssl_pretrain_images_per_sec_per_chip",
         "value": round(ips, 1),
         "unit": "images/sec/chip",
-        "vs_baseline": round(ips / BASELINE_IMG_PER_SEC, 2),
-    }))
+        "vs_baseline": round(ips / baseline, 2),
+        "baseline_img_per_sec": baseline,
+        "baseline_source": baseline_src,
+    }
+    if measured is not None:
+        out["measured_host_pipeline_img_per_sec"] = measured
+    if step_flops is not None:
+        tflops = step_flops * SCAN_STEPS / dt / n_chips / 1e12
+        out["model_tflops_per_sec_per_chip"] = round(tflops, 2)
+        out["mfu"] = round(tflops * 1e12 / V5E_PEAK_FLOPS, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

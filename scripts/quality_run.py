@@ -1,0 +1,167 @@
+"""Quality runs on the real TPU: full-size shipped configs, many epochs,
+periodic KNN eval, final linear probe. Used for
+
+  * the PIRL soak (VERDICT round-1 item 5), and
+  * the non-saturating synth100 ranking (VERDICT item 1b): with no CIFAR
+    reachable (zero egress), synth100's phase-randomized shared-texture
+    classes are the hardest learnable benchmark available — chance KNN is
+    0.01 and raw-pixel similarity carries no class signal, so algorithm
+    ordering is meaningful, unlike the saturating easy synthetic set.
+
+Drives the SHIPPED configs/<algo>.yaml (reference hyperparameters: proj_dim
+128, the reference train transforms, sgd/adamw settings), overriding only
+epochs / eval cadence / dataset.
+
+Usage:
+  python scripts/quality_run.py --algos pirl --epochs 50 --tag pirl-soak
+  python scripts/quality_run.py --algos byol,simclr,relic,moco,barlow,swav \
+      --epochs 40 --dataset synth100 --tag synth100-rank
+
+Appends a result table to VALIDATION.md (below the sweep marker, so it
+survives sweep regenerations) and prints one JSON line per run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+VALIDATION = os.path.join(REPO, "VALIDATION.md")
+
+ARCH = {"dino": "vit"}  # default resnet18 otherwise
+
+
+def run_one(algo: str, epochs: int, dataset: str, eval_every: int,
+            sizes: tuple[int, int], batch: int | None, overrides: dict):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ssv_tpu.train import Trainer
+
+    with open(os.path.join(REPO, "configs", f"{algo}.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    cfg["epochs"] = epochs
+    cfg["eval_every"] = eval_every
+    cfg["data"]["dataset_name"] = dataset
+    cfg["wandb"] = {"project": None}
+    if batch:
+        cfg["data"]["batch_size"] = batch
+    cfg.update(overrides)
+
+    d = f"/tmp/quality_{algo}_{dataset}"
+    os.makedirs(d, exist_ok=True)
+    with open(f"{d}/cfg.yaml", "w") as f:
+        yaml.dump(cfg, f, sort_keys=False)
+    os.chdir(d)
+    args = {"config": f"{d}/cfg.yaml", "algo": algo,
+            "arch": ARCH.get(algo, "resnet18"), "task": "train",
+            "output": "run", "load": None}
+
+    t0 = time.time()
+    tr = Trainer(args, synthetic_sizes=sizes)
+    images, labels = tr._train_arrays
+    state = tr.algorithm.pre_train(tr.state, tr)
+    knn_curve, ips_hist = [], []
+    for e in range(1, epochs + 1):
+        state = tr.algorithm.pre_epoch(state, tr, e)
+        tr.rng, k_perm, k_epoch = jax.random.split(tr.rng, 3)
+        idx_mat = tr.pipeline.epoch_indices(k_perm)
+        te = time.time()
+        state, metrics = tr._epoch_fn(state, images, labels, idx_mat, k_epoch)
+        state = tr._post_epoch_fn(state, jnp.asarray(e))
+        loss = float(np.asarray(metrics["loss"]).mean())
+        ips_hist.append(idx_mat.size / (time.time() - te))
+        if e % eval_every == 0 or e == epochs:
+            tr.state = state
+            knn = tr.knn_validate()
+            knn_curve.append((e, round(knn, 4)))
+            print(f"[{algo}/{dataset}] epoch {e}/{epochs} loss={loss:.4f} "
+                  f"knn={knn:.4f} ips={ips_hist[-1]:,.0f}", flush=True)
+    tr.state = state
+    linear = tr.perform_linear_eval()
+    return {
+        "algo": algo, "dataset": dataset, "epochs": epochs,
+        "batch": cfg["data"]["batch_size"],
+        "knn_curve": knn_curve,
+        "best_knn": max(k for _, k in knn_curve),
+        "final_knn": knn_curve[-1][1],
+        "linear": round(float(linear), 4),
+        "img_per_sec": round(max(ips_hist)),
+        "wall_s": round(time.time() - t0),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--algos", required=True)
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--dataset", default="cifar10",
+                    help="cifar10 (synthetic fallback) or synth100")
+    ap.add_argument("--eval-every", type=int, default=0,
+                    help="0 = epochs//5")
+    ap.add_argument("--n-train", type=int, default=50000)
+    ap.add_argument("--n-test", type=int, default=10000)
+    ap.add_argument("--batch", type=int, default=0)
+    ap.add_argument("--tag", required=True)
+    ap.add_argument("--set", action="append", default=[],
+                    help="top-level config override key=yaml_value")
+    ap.add_argument("--cpu", action="store_true",
+                    help="debug on CPU (axon sitecustomize overrides "
+                         "JAX_PLATFORMS, so this must be set in-process)")
+    ap.add_argument("--no-write", action="store_true",
+                    help="skip the VALIDATION.md append (smoke tests)")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    eval_every = args.eval_every or max(1, args.epochs // 5)
+    overrides = {}
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        overrides[k] = yaml.safe_load(v)
+
+    results = []
+    for algo in args.algos.split(","):
+        try:
+            r = run_one(algo, args.epochs, args.dataset, eval_every,
+                        (args.n_train, args.n_test), args.batch or None,
+                        overrides)
+        except Exception as e:
+            r = {"algo": algo, "error": f"{type(e).__name__}: {e}"}
+        results.append(r)
+        print(json.dumps(r), flush=True)
+
+    if args.no_write:
+        return
+    with open(VALIDATION, "a") as f:
+        f.write(f"\n## Quality run: {args.tag}\n\n")
+        f.write(f"Real v5e chip, dataset `{args.dataset}` "
+                f"({args.n_train:,} train / {args.n_test:,} test), "
+                f"{args.epochs} epochs, shipped full-size configs"
+                + (f", overrides {overrides}" if overrides else "") + ".\n\n")
+        f.write("| algorithm | batch | KNN curve (epoch: acc) | best KNN | "
+                "linear | img/s/chip | wall |\n|---|---|---|---|---|---|---|\n")
+        for r in results:
+            if "error" in r:
+                f.write(f"| {r['algo']} | — | ERROR: {r['error']} | — | — | — | — |\n")
+            else:
+                curve = " ".join(f"{e}:{k}" for e, k in r["knn_curve"])
+                f.write(f"| {r['algo']} | {r['batch']} | {curve} | "
+                        f"{r['best_knn']} | {r['linear']} | "
+                        f"{r['img_per_sec']:,} | {r['wall_s']}s |\n")
+        f.write("\nGenerated by scripts/quality_run.py.\n")
+    print("WROTE", VALIDATION, flush=True)
+
+
+if __name__ == "__main__":
+    main()

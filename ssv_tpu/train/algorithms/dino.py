@@ -62,7 +62,11 @@ class DINO(Algorithm):
         # + 2 local forwards -> 1 + 1. EXACT for ViT (LayerNorm only, no
         # cross-sample coupling); a documented BN-batch choice for ResNet.
         # Biggest win on the tiny local crops, which underfill the MXU.
-        self.fuse = bool(config.get("fuse_views", False))
+        # Default: auto — on for the BN-free ViT tower (bit-equivalent, see
+        # tests/test_fuse_views.py), off for conv/BN towers (reference
+        # parity: dino.py:143-163 runs per-view forwards).
+        fuse_cfg = config.get("fuse_views")
+        self.fuse = (arch == "vit") if fuse_cfg is None else bool(fuse_cfg)
 
         spe = data.steps_per_epoch
 
