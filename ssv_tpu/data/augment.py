@@ -561,10 +561,18 @@ def build_transform(cfg: dict) -> Callable:
 
 
 def _pallas_default() -> bool:
+    """MEASURED OFF by default: at batch 512 on a v5e the fused Pallas
+    photometric kernel runs 352 us vs 271 us for XLA's own fusion of the
+    identical elementwise chain (scripts/bench_augment.py, SCAN=1000 —
+    ~2% of the full SimCLR step). XLA already fuses the jitter/grayscale
+    chain into the surrounding program; the hand-written kernel only adds
+    VMEM staging. Kept behind $SSV_TPU_PALLAS=1 with bit-equivalence tests
+    (tests/test_pallas_photometric.py) for future chips where the tradeoff
+    may flip."""
     env = os.environ.get("SSV_TPU_PALLAS")
     if env is not None:
         return env not in ("0", "false", "False")
-    return jax.default_backend() == "tpu"
+    return False
 
 
 def build_batch_transform(cfg: dict, use_pallas: bool | None = None,
@@ -577,8 +585,8 @@ def build_batch_transform(cfg: dict, use_pallas: bool | None = None,
     (ops/pallas/photometric.py); the remaining ops run vmapped per example.
     Per-step PRNG keys are derived identically to the per-example path, so
     enabling/disabling the fused kernel does not change the augmentation
-    stream. Falls back to plain vmap when the pattern doesn't match or on
-    non-TPU backends (override with use_pallas / $SSV_TPU_PALLAS).
+    stream. The Pallas path is opt-in ($SSV_TPU_PALLAS=1 / use_pallas=True):
+    measured slower than XLA's own fusion on v5e (see _pallas_default).
     """
     if use_pallas is None:
         use_pallas = _pallas_default()
