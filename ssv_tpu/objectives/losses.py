@@ -125,11 +125,20 @@ def dino_loss(teacher_views, student_views, temp_s, temp_t, center):
 
 def pirl_nce(img_features, patch_features, memory_pos, memory_neg,
              temperature: float = 1.0, loss_weight: float = 0.5,
-             normalize: bool = True):
-    """Parity quirk preserved: the negative logits compare the *memory*
-    positives with the sampled negatives — mm(m_pos, m_neg^T) — not the
-    current features with the negatives (losses.py:108). Both NCE terms share
-    that negative block."""
+             normalize: bool = True, negatives_from: str = "memory"):
+    """negatives_from="memory" preserves the reference quirk: the negative
+    logits compare the *memory* positives with the sampled negatives —
+    mm(m_pos, m_neg^T) — not the current features with the negatives
+    (losses.py:108), and both NCE terms share that negative block. Since
+    memory rows are constants w.r.t. the parameters, the quirk removes ALL
+    repulsion gradient — only the positive (attraction) term trains, the
+    encoder collapses, and the loss settles at chance log(K+1) (measured:
+    a 50-epoch run decays to loss 6.908 = log(1001), VALIDATION.md). PIRL
+    is absent from the reference's own README table.
+
+    negatives_from="features" is the corrected NCE (the PIRL paper's eq. 4/5:
+    each term scores its OWN feature against the negatives), the algorithm's
+    default via train/algorithms/pirl.py."""
     if normalize:
         v_img = l2_normalize(img_features)
         v_patch = l2_normalize(patch_features)
@@ -138,10 +147,17 @@ def pirl_nce(img_features, patch_features, memory_pos, memory_neg,
     bs = v_img.shape[0]
     pos1 = jnp.sum(memory_pos * v_patch, axis=-1, keepdims=True) / temperature
     pos2 = jnp.sum(memory_pos * v_img, axis=-1, keepdims=True) / temperature
-    neg = jnp.dot(memory_pos, memory_neg.T, preferred_element_type=jnp.float32) / temperature
+    if negatives_from == "features":
+        neg1 = jnp.dot(v_patch, memory_neg.T,
+                       preferred_element_type=jnp.float32) / temperature
+        neg2 = jnp.dot(v_img, memory_neg.T,
+                       preferred_element_type=jnp.float32) / temperature
+    else:
+        neg1 = neg2 = jnp.dot(memory_pos, memory_neg.T,
+                              preferred_element_type=jnp.float32) / temperature
     labels = jnp.zeros((bs,), jnp.int32)
-    loss1 = softmax_cross_entropy(jnp.concatenate([pos1, neg], axis=1), labels)
-    loss2 = softmax_cross_entropy(jnp.concatenate([pos2, neg], axis=1), labels)
+    loss1 = softmax_cross_entropy(jnp.concatenate([pos1, neg1], axis=1), labels)
+    loss2 = softmax_cross_entropy(jnp.concatenate([pos2, neg2], axis=1), labels)
     return loss_weight * loss1 + (1.0 - loss_weight) * loss2
 
 

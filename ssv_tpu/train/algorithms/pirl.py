@@ -73,6 +73,14 @@ class PIRL(Algorithm):
                              patch_size=self.patch_size,
                              num_patches=self.num_patches)
         self.loss_cfg = dict(config.get("loss_fn", {}) or {})
+        # Default to the corrected NCE: the reference's negative block
+        # mm(m_pos, m_neg^T) carries no parameter gradient, so only the
+        # attraction term trains and the encoder collapses to chance
+        # (losses.py:108; measured in VALIDATION.md). `negatives_from:
+        # memory` reproduces the reference quirk — same policy as SeLA's
+        # self_label_mode (SURVEY §7: learning-relevant defects get
+        # corrected defaults, quirk behind a flag).
+        self.loss_cfg.setdefault("negatives_from", "features")
         self.tx = self.make_tx()
 
     def init_state(self, rng) -> TrainState:

@@ -125,6 +125,50 @@ def test_pirl():
     assert got == pytest.approx(want, rel=1e-5)
 
 
+def test_pirl_corrected_negatives_carry_gradient():
+    """The reference quirk (negatives_from="memory") computes negative
+    logits from constants, so the repulsion gradient is exactly zero and
+    only attraction trains -> collapse. The corrected mode ("features")
+    must (a) match the NumPy NCE oracle and (b) have a loss gradient that
+    RESPONDS to the negatives."""
+    r = np.random.RandomState(7)  # own stream: don't shift the shared `rs`
+    bs, d, K = 4, 8, 15
+    vi, vp = r.randn(bs, d), r.randn(bs, d)
+    mpos, mneg = _norm(r.randn(bs, d)), _norm(r.randn(K, d))
+    vin, vpn = _norm(vi), _norm(vp)
+    temp, w = 0.07, 0.5
+    pos1 = np.sum(mpos * vpn, 1, keepdims=True) / temp
+    pos2 = np.sum(mpos * vin, 1, keepdims=True) / temp
+    want = w * _ce_rows(np.concatenate([pos1, vpn @ mneg.T / temp], 1)) + \
+        (1 - w) * _ce_rows(np.concatenate([pos2, vin @ mneg.T / temp], 1))
+    got = float(pirl_nce(jnp.array(vi), jnp.array(vp), jnp.array(mpos),
+                         jnp.array(mneg), temperature=temp, loss_weight=w,
+                         negatives_from="features"))
+    assert got == pytest.approx(want, rel=1e-5)
+
+    def grad_wrt_img(mode):
+        g = jax.grad(lambda v: pirl_nce(v, jnp.array(vp), jnp.array(mpos),
+                                        jnp.array(mneg), temperature=temp,
+                                        loss_weight=w, negatives_from=mode))
+        return np.asarray(g(jnp.array(vi)))
+
+    def max_component_outside_span(grad):
+        """Largest per-sample gradient component orthogonal to
+        span{m_pos_b, v_img_b} — the only directions the attraction term
+        (plus the l2-normalize Jacobian) can produce."""
+        worst = 0.0
+        for b in range(bs):
+            basis = np.linalg.qr(np.stack([mpos[b], vin[b]], 1))[0]
+            resid = grad[b] - basis @ (basis.T @ grad[b])
+            worst = max(worst, float(np.abs(resid).max()))
+        return worst
+
+    # quirk mode: zero repulsion — gradient never leaves the positive span
+    assert max_component_outside_span(grad_wrt_img("memory")) < 1e-7
+    # corrected mode: the negatives push back through the features
+    assert max_component_outside_span(grad_wrt_img("features")) > 1e-3
+
+
 def test_barlow():
     bs, d = 16, 12
     zi, zj = rs.randn(bs, d), rs.randn(bs, d)
