@@ -66,8 +66,11 @@ def linear_evaluation(config: dict, train_data: dict, test_data: dict,
         logp = jax.nn.log_softmax(logits)
         return -jnp.mean(jnp.take_along_axis(logp, yb[:, None], axis=1))
 
+    # Data enters as ARGUMENTS, not closure captures: a closed-over feature
+    # matrix is baked into the HLO as a literal (a 4096-dim probe embeds
+    # 50000x4096 f32 = 819 MB of constants), exploding compile payloads.
     @jax.jit
-    def run(params, opt_state):
+    def run(params, opt_state, x, y, xt, yt, idx_mat):
         def step(carry, idx):
             p, s = carry
             xb, yb = x[idx], y[idx]
@@ -81,5 +84,5 @@ def linear_evaluation(config: dict, train_data: dict, test_data: dict,
         acc = jnp.mean((jnp.argmax(logits, axis=-1) == yt).astype(jnp.float32))
         return params, acc, losses[-1]
 
-    _, acc, _ = run(params, opt_state)
+    _, acc, _ = run(params, opt_state, x, y, xt, yt, idx_mat)
     return float(acc)
