@@ -1,8 +1,11 @@
 """Vision Transformer with the reference's (unusual) embedding scheme.
 
 Parity notes against reference networks/vit.py:
-  * patchify = non-overlapping patches, flattened channels-last
-    (vit.py:99,105 uses nn.Unfold; here a reshape/transpose — same tensor).
+  * patchify + projection = the reference's nn.Unfold then
+    Dense([patch || pos]) (vit.py:99,105,82); here the SAME parameters are
+    applied as one pxp/stride-p convolution plus a positional projection
+    (algebraic split of the Dense — see TransformerEncoder.__call__), which
+    removes the patch-extraction transposes entirely.
   * a learned CLS token in *patch-pixel* space is prepended (vit.py:80-81).
   * positional embeddings are **concatenated on the feature dim**, not added
     (vit.py:82), with two separate tables for global vs local patch counts
@@ -27,6 +30,7 @@ from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn
+from jax import lax
 
 
 class SelfAttention(nn.Module):
@@ -41,16 +45,20 @@ class SelfAttention(nn.Module):
         dense = lambda name: nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
                                       param_dtype=jnp.float32, name=name)
         # Reference quirk: LayerNorm(x) is the residual, raw x feeds QKV.
-        identity = nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
-        q = dense("query")(x).reshape(b, n, self.num_heads, head).transpose(0, 2, 1, 3)
-        k = dense("key")(x).reshape(b, n, self.num_heads, head).transpose(0, 2, 1, 3)
-        v = dense("value")(x).reshape(b, n, self.num_heads, head).transpose(0, 2, 1, 3)
-        scores = jnp.einsum("bhid,bhjd->bhij", q, k,
+        # LN emits the compute dtype (statistics are still f32 inside flax):
+        # an f32 residual stream forces an f32<->bf16 layout copy per
+        # sublayer, profiled as the top "data formatting" cost of the DINO
+        # step. Head split/merge stays inside the einsums — no materialized
+        # (b,h,n,d) transposes.
+        identity = nn.LayerNorm(dtype=self.dtype, name="ln")(x)
+        q = dense("query")(x).reshape(b, n, self.num_heads, head)
+        k = dense("key")(x).reshape(b, n, self.num_heads, head)
+        v = dense("value")(x).reshape(b, n, self.num_heads, head)
+        scores = jnp.einsum("bihd,bjhd->bhij", q, k,
                             preferred_element_type=jnp.float32) / jnp.sqrt(head)
         probs = nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhij,bhjd->bhid", probs.astype(self.dtype), v,
-                         preferred_element_type=jnp.float32)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, self.hidden_dim)
+        out = jnp.einsum("bhij,bjhd->bihd", probs.astype(self.dtype), v)
+        out = out.reshape(b, n, self.hidden_dim)
         return out + identity, probs
 
 
@@ -61,7 +69,7 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        identity = nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
+        identity = nn.LayerNorm(dtype=self.dtype, name="ln")(x)
         y = nn.Dense(self.intermediate_dim, dtype=self.dtype, param_dtype=jnp.float32)(x)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32)(y)
@@ -97,6 +105,21 @@ def patchify(img: jnp.ndarray, patch_size: int) -> jnp.ndarray:
     return x.reshape(b, (h // p) * (w // p), c * p * p)
 
 
+class _DenseParams(nn.Module):
+    """Parameter container with nn.Dense's tree shape and init — the kernel
+    is consumed manually (split + reshaped into a conv) by the encoder."""
+
+    input_dim: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.input_dim, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return kernel, bias
+
+
 class TransformerEncoder(nn.Module):
     """Config keys follow reference configs/dino.yaml `encoder` block."""
 
@@ -114,11 +137,10 @@ class TransformerEncoder(nn.Module):
     def __call__(self, img, train: bool = True, return_attn: bool = False):
         p = self.patch_size
         input_dim = 3 * p * p
-        x = patchify(img, p)  # (b, n, 3p^2)
-        b, n, _ = x.shape
+        b, h, w, _ = img.shape
+        n = (h // p) * (w // p)
 
         cls = self.param("cls_embedding", nn.initializers.normal(1.0), (1, 1, input_dim))
-        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, input_dim)), x], axis=1)
 
         # Both tables are created unconditionally so the same param pytree
         # serves global and local inputs (DINO runs both through one model).
@@ -134,12 +156,32 @@ class TransformerEncoder(nn.Module):
             raise ValueError(
                 f"Sequence of {n} patches matches neither global "
                 f"({self.num_global_patches}) nor local ({self.num_local_patches})")
-        # Reference quirk: positions are concatenated on the feature dim.
-        pos = jnp.broadcast_to(pos[None], (b, n + 1, self.embedding_dim))
-        x = jnp.concatenate([x, pos], axis=-1)
 
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="projection_fc")(x)
+        # The reference embeds token_i = Dense([pixels_i || pos_i])
+        # (patchify -> CLS prepend -> feature-dim pos concat -> projection,
+        # vit.py:80-82,99-105). Algebraically Dense([a||b]) splits into
+        # W_pix @ a + W_pos @ b, and W_pix over non-overlapping patches IS a
+        # pxp/stride-p convolution — so the same parameters are applied as
+        # one MXU conv plus a (n+1, hidden) positional projection, with NO
+        # patch extraction: the reshape/transpose patchify chain profiled at
+        # 19% of the DINO step wall ("data formatting", VALIDATION.md) as
+        # well as both big concats disappear. `patchify` (below) remains the
+        # semantic reference; tests/test_models.py pins this path against
+        # the explicit concat+Dense computation.
+        kernel, bias = _DenseParams(input_dim + self.embedding_dim,
+                                    self.hidden_dim, name="projection_fc")()
+        dt = self.dtype
+        w_pix = kernel[:input_dim]          # rows ordered (c, py, px)
+        w_pos = kernel[input_dim:]
+        k_conv = w_pix.reshape(3, p, p, self.hidden_dim).transpose(1, 2, 0, 3)
+        tok = lax.conv_general_dilated(
+            img.astype(dt), k_conv.astype(dt), window_strides=(p, p),
+            padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        tok = tok.reshape(b, n, self.hidden_dim)
+        cls_tok = cls.reshape(1, input_dim).astype(dt) @ w_pix.astype(dt)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls_tok[None], (b, 1, self.hidden_dim)), tok], axis=1)
+        x = x + (pos.astype(dt) @ w_pos.astype(dt))[None] + bias.astype(dt)
 
         attn = {}
         for i in range(self.num_encoder_layers):

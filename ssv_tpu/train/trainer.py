@@ -314,13 +314,17 @@ class Trainer:
         # inspection in XProf/TensorBoard (SURVEY §5: the reference has no
         # profiling at all).
         profile_dir = os.environ.get("SSV_TPU_PROFILE_DIR")
+        # second epoch of THIS run = first steady-state (post-compile) epoch;
+        # pin it now — self.start_epoch advances inside the loop (resume
+        # bookkeeping), which would otherwise push the target out of reach
+        profile_epoch = self.start_epoch + 1
 
         for epoch in range(self.start_epoch, self.epochs + 1):
             state = self.algorithm.pre_epoch(state, self, epoch)
 
             self.rng, k_perm, k_epoch = jax.random.split(self.rng, 3)
             idx_mat = self._shard_idx_mat(self.pipeline.epoch_indices(k_perm))
-            profiling = profile_dir and epoch == self.start_epoch + 1
+            profiling = profile_dir and epoch == profile_epoch
             if profiling:
                 jax.profiler.start_trace(profile_dir)
             t0 = time.perf_counter()

@@ -87,7 +87,8 @@ def test_vit_layernorm_residual_quirk():
     from ssv_tpu.models.vit import TransformerLayer
     from flax import linen as nn
 
-    layer = TransformerLayer(hidden_dim=8, intermediate_dim=16, num_heads=2)
+    layer = TransformerLayer(hidden_dim=8, intermediate_dim=16, num_heads=2,
+                             dtype=jnp.float32)  # f32: exact vs LN oracle
     x = jnp.array(np.random.RandomState(0).randn(1, 3, 8), jnp.float32)
     v = layer.init(jax.random.PRNGKey(0), x)
     # zero every Dense kernel/bias -> branch contributions vanish
@@ -159,3 +160,65 @@ def test_simclr_projection_structure():
     assert out.shape == (4, 8)
     # two BN layers (after each fc)
     assert len([k for k in v["batch_stats"] if "BatchNorm" in k]) == 2
+
+
+def test_vit_conv_embedding_equals_concat_dense():
+    """The conv-formulated embedding (TransformerEncoder.__call__) must
+    equal the reference formulation — patchify -> CLS prepend -> feature-dim
+    pos concat -> Dense — applied with the SAME parameters. Zero encoder
+    layers isolates the embedding stage (output = projected CLS token);
+    token rows are checked through a 1-layer encoder output too."""
+    from ssv_tpu.models.vit import TransformerEncoder, patchify
+
+    cfg = dict(VIT_CFG, num_encoder_layers=0, dtype=jnp.float32)
+    m = TransformerEncoder(**cfg)
+    rng = np.random.RandomState(0)
+    for shape, n in [((3, 32, 32, 3), 64), ((3, 8, 8, 3), 4)]:
+        img = jnp.asarray(rng.rand(*shape), jnp.float32)
+        v = m.init(jax.random.PRNGKey(1), img)
+        params = v["params"]
+        kernel = np.asarray(params["projection_fc"]["kernel"])
+        bias = np.asarray(params["projection_fc"]["bias"])
+        cls = np.asarray(params["cls_embedding"])
+        key = ("pos_embedding_global" if n == 64 else "pos_embedding_local")
+        pos = np.asarray(params[key])
+
+        # reference formulation in NumPy
+        x = np.asarray(patchify(img, 4))
+        x = np.concatenate([np.broadcast_to(cls, (shape[0], 1, 48)), x], 1)
+        x = np.concatenate([x, np.broadcast_to(pos[None], (shape[0], n + 1,
+                                                           pos.shape[-1]))], -1)
+        want = x @ kernel + bias  # (b, n+1, hidden)
+
+        got_cls = np.asarray(m.apply(v, img))  # 0 layers -> projected CLS
+        np.testing.assert_allclose(got_cls, want[:, 0, :], rtol=1e-5,
+                                   atol=1e-5)
+
+
+def test_vit_conv_embedding_full_forward_parity():
+    """All token rows: feed the reference-formulated embedding through the
+    encoder's own transformer layers (params extracted from the tree) and
+    compare against the model's full forward — attention mixes every token
+    into the CLS output, so any row mismatch shows up."""
+    from ssv_tpu.models.vit import TransformerEncoder, TransformerLayer, patchify
+
+    cfg = dict(VIT_CFG, num_encoder_layers=2, dtype=jnp.float32)
+    m = TransformerEncoder(**cfg)
+    img = jnp.asarray(np.random.RandomState(3).rand(2, 32, 32, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(2), img)
+    params = v["params"]
+
+    x = np.asarray(patchify(img, 4))
+    cls = np.asarray(params["cls_embedding"])
+    pos = np.asarray(params["pos_embedding_global"])
+    x = np.concatenate([np.broadcast_to(cls, (2, 1, 48)), x], 1)
+    x = np.concatenate([x, np.broadcast_to(pos[None], (2, 65, 16))], -1)
+    x = jnp.asarray(x @ np.asarray(params["projection_fc"]["kernel"])
+                    + np.asarray(params["projection_fc"]["bias"]))
+    layer = TransformerLayer(hidden_dim=48, intermediate_dim=64, num_heads=4,
+                             dtype=jnp.float32)
+    for i in range(2):
+        x, _ = layer.apply({"params": params[f"layer_{i}"]}, x)
+    want = np.asarray(x[:, 0, :])
+    got = np.asarray(m.apply(v, img))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
