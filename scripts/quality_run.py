@@ -67,13 +67,30 @@ def run_one(algo: str, epochs: int, dataset: str, eval_every: int,
 
     t0 = time.time()
     tr = Trainer(args, synthetic_sizes=sizes)
+    ds = tr.pipeline.dataset
+    resolved = ds.name + (" → synthetic fallback" if ds.synthetic
+                          and ds.name not in ("synth100", "shapes100") else "")
+    resolved += f" ({len(ds.train.images):,} train / {len(ds.test.images):,} test)"
+    print(f"[{algo}] dataset resolved: {resolved}", flush=True)
     images, labels = tr._train_arrays
     state = tr.algorithm.pre_train(tr.state, tr)
-    knn_curve, ips_hist = [], []
+    knn_curve, ips_hist, ent_curve = [], [], []
+
+    def track_entropy(st):
+        """Pseudo-label distribution entropy (VERDICT round-2 item 2): for
+        SeLA/DeepCluster, loss -> 0 with collapsed labels is the failure
+        mode per-epoch entropy >= 0.5*log K rules out."""
+        if "pseudo_labels" not in getattr(st, "extra", {}):
+            return
+        counts = np.bincount(np.asarray(st.extra["pseudo_labels"]))
+        p = counts[counts > 0] / counts.sum()
+        ent_curve.append(round(float(-(p * np.log(p)).sum()), 3))
+
     for e in range(1, epochs + 1):
         state = tr.algorithm.pre_epoch(state, tr, e)
+        track_entropy(state)
         tr.rng, k_perm, k_epoch = jax.random.split(tr.rng, 3)
-        idx_mat = tr.pipeline.epoch_indices(k_perm)
+        idx_mat = tr._shard_idx_mat(tr.pipeline.epoch_indices(k_perm))
         te = time.time()
         state, metrics = tr._epoch_fn(state, images, labels, idx_mat, k_epoch)
         state = tr._post_epoch_fn(state, jnp.asarray(e))
@@ -87,8 +104,19 @@ def run_one(algo: str, epochs: int, dataset: str, eval_every: int,
                   f"knn={knn:.4f} ips={ips_hist[-1]:,.0f}", flush=True)
     tr.state = state
     linear = tr.perform_linear_eval()
+    extra_fields = {}
+    if ent_curve:
+        K = getattr(tr.algorithm, "num_clusters",
+                    getattr(tr.algorithm, "num_classes", None))
+        extra_fields = {
+            "pseudo_entropy_min": min(ent_curve),
+            "pseudo_entropy_last": ent_curve[-1],
+            "half_log_K": round(0.5 * float(np.log(K)), 3) if K else None,
+        }
     return {
-        "algo": algo, "dataset": dataset, "epochs": epochs,
+        **extra_fields,
+        "algo": algo, "dataset": dataset, "resolved_dataset": resolved,
+        "epochs": epochs,
         "batch": cfg["data"]["batch_size"],
         "knn_curve": knn_curve,
         "best_knn": max(k for _, k in knn_curve),
@@ -104,7 +132,10 @@ def main():
     ap.add_argument("--algos", required=True)
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--dataset", default="cifar10",
-                    help="cifar10 (synthetic fallback) or synth100")
+                    help="cifar10 (synthetic fallback), synth100 "
+                         "(phase-randomized textures: contrastive ranking) or "
+                         "shapes100 (augmentation-invariant layouts: the "
+                         "BYOL-family benchmark)")
     ap.add_argument("--eval-every", type=int, default=0,
                     help="0 = epochs//5")
     ap.add_argument("--n-train", type=int, default=50000)
@@ -143,10 +174,12 @@ def main():
 
     if args.no_write:
         return
+    resolved = next((r["resolved_dataset"] for r in results
+                     if "resolved_dataset" in r),
+                    f"{args.dataset} ({args.n_train:,} train / {args.n_test:,} test)")
     with open(VALIDATION, "a") as f:
         f.write(f"\n## Quality run: {args.tag}\n\n")
-        f.write(f"Real v5e chip, dataset `{args.dataset}` "
-                f"({args.n_train:,} train / {args.n_test:,} test), "
+        f.write(f"Real v5e chip, dataset `{resolved}`, "
                 f"{args.epochs} epochs, shipped full-size configs"
                 + (f", overrides {overrides}" if overrides else "") + ".\n\n")
         f.write("| algorithm | batch | KNN curve (epoch: acc) | best KNN | "
@@ -159,6 +192,12 @@ def main():
                 f.write(f"| {r['algo']} | {r['batch']} | {curve} | "
                         f"{r['best_knn']} | {r['linear']} | "
                         f"{r['img_per_sec']:,} | {r['wall_s']}s |\n")
+        notes = [f"{r['algo']}: pseudo-label entropy min {r['pseudo_entropy_min']} "
+                 f"/ last {r['pseudo_entropy_last']} (collapse bar 0.5·log K = "
+                 f"{r['half_log_K']})"
+                 for r in results if r.get("pseudo_entropy_min") is not None]
+        if notes:
+            f.write("\n" + "; ".join(notes) + ".\n")
         f.write("\nGenerated by scripts/quality_run.py.\n")
     print("WROTE", VALIDATION, flush=True)
 

@@ -139,6 +139,9 @@ def pirl_nce(img_features, patch_features, memory_pos, memory_neg,
     negatives_from="features" is the corrected NCE (the PIRL paper's eq. 4/5:
     each term scores its OWN feature against the negatives), the algorithm's
     default via train/algorithms/pirl.py."""
+    if negatives_from not in ("features", "memory"):
+        raise ValueError(
+            f"negatives_from must be 'features' or 'memory', got {negatives_from!r}")
     if normalize:
         v_img = l2_normalize(img_features)
         v_patch = l2_normalize(patch_features)
