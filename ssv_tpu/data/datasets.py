@@ -223,7 +223,113 @@ def make_synthetic_hard(name: str = "synth100", num_classes: int = 100,
                    num_classes=num_classes, synthetic=True)
 
 
-DATASETS = ("cifar10", "cifar100", "synth100")
+def make_synthetic_shapes(name: str = "shapes100", num_classes: int = 100,
+                          n_train: int = 50000, n_test: int = 10000,
+                          image_size: int = 32, seed: int = 0) -> Dataset:
+    """Augmentation-INVARIANT class structure (VERDICT round-2 item 1).
+
+    synth100 ranks the contrastive/clustering families but collapses the
+    negative-free (BYOL/SimSiam) family: its class signal (texture power
+    spectra) is destroyed by the train augmentations, so the cheapest
+    augmentation-invariant representation is a near-constant — a fixed
+    point for methods with no repulsion term. This benchmark is the
+    complement: class identity lives exactly in what the reference's
+    train transforms (RRC / flip / color-jitter / grayscale,
+    augmentations.py:113-126) PRESERVE, and instance nuisance lives
+    exactly in what they destroy — so invariance-seeking methods are
+    pushed *toward* the class signal (the reason BYOL works on CIFAR:
+    byol.py:89,126-130 trains pure cross-view invariance).
+
+      * a class is a fixed spatial arrangement of 3 geometric shapes
+        (type, size, position per slot; 5 mirror-symmetric types: disc,
+        ring, square, cross, diamond) — shape identity/size/layout
+        survive crops, flips and any photometric op;
+      * every instance redraws all colors (bright random shape colors on
+        a dark random-gradient background — nuisance aligned with
+        color-jitter/grayscale; luminance bands keep shapes visible
+        after grayscale), re-jitters positions/scale within the RRC
+        translation range, and mirrors the layout with p=0.5 (so the
+        flip augmentation maps within-class);
+      * 100 layouts drawn i.i.d. → fine-grained decisions between
+        near-collision layouts; chance KNN = 1/num_classes = 0.01.
+
+    Deterministic in `seed`.
+    """
+    rng = np.random.RandomState(seed + 7)
+    H = W = image_size
+    K = 3  # shapes per class
+    scale = image_size / 32.0
+
+    # class prototypes: (type, radius, cx, cy) per slot
+    ptype = rng.randint(0, 5, size=(num_classes, K))
+    prad = rng.uniform(3.2, 6.2, size=(num_classes, K)).astype(np.float32) * scale
+    ang = rng.uniform(0, 2 * np.pi, size=(num_classes, K)).astype(np.float32)
+    dist = rng.uniform(2.5, 9.5, size=(num_classes, K)).astype(np.float32) * scale
+    pcx = dist * np.cos(ang)
+    pcy = dist * np.sin(ang)  # relative to image center
+
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    xx -= (W - 1) / 2.0
+    yy -= (H - 1) / 2.0
+    aa = 1.1  # anti-alias width (px)
+
+    def sdf(t, dx, dy, r):
+        """Signed distance per shape type; all five are mirror-symmetric."""
+        ax, ay = np.abs(dx), np.abs(dy)
+        rr = np.sqrt(dx * dx + dy * dy)
+        out = np.where(t == 0, rr - r, 0.0)                              # disc
+        out = np.where(t == 1, np.abs(rr - 0.78 * r) - 0.30 * r, out)    # ring
+        out = np.where(t == 2, np.maximum(ax, ay) - 0.85 * r, out)       # square
+        cross = np.minimum(np.maximum(ax - 0.32 * r, ay - r),
+                           np.maximum(ax - r, ay - 0.32 * r))
+        out = np.where(t == 3, cross, out)                               # cross
+        out = np.where(t == 4, (ax + ay) - 1.15 * r, out)                # diamond
+        return out
+
+    def split(n, seed_off):
+        r = np.random.RandomState(seed + seed_off)
+        labels = r.randint(0, num_classes, size=n).astype(np.int32)
+        imgs = np.empty((n, H, W, 3), np.uint8)
+        for lo in range(0, n, 1024):
+            hi = min(lo + 1024, n)
+            m = hi - lo
+            lab = labels[lo:hi]
+            # instance nuisance: global translate/scale, per-slot jitter,
+            # mirror with p=0.5 (x -> -x maps exactly to a horizontal flip
+            # because every shape type is mirror-symmetric)
+            g = r.uniform(0.90, 1.12, size=(m, 1)).astype(np.float32)
+            tx = r.uniform(-2.5, 2.5, size=(m, 1)).astype(np.float32) * scale
+            ty = r.uniform(-2.5, 2.5, size=(m, 1)).astype(np.float32) * scale
+            mirror = np.where(r.rand(m, 1) < 0.5, -1.0, 1.0).astype(np.float32)
+            cx = (pcx[lab] * g * mirror + tx
+                  + r.uniform(-1, 1, size=(m, K)).astype(np.float32) * scale)
+            cy = (pcy[lab] * g + ty
+                  + r.uniform(-1, 1, size=(m, K)).astype(np.float32) * scale)
+            rad = prad[lab] * g * r.uniform(0.92, 1.08, size=(m, K)).astype(np.float32)
+            # colors: bright shapes (lum >= 0.55) on a dark gradient
+            # background (lum <= ~0.35) so grayscale keeps the contrast
+            col = 0.55 + 0.45 * r.rand(m, K, 3).astype(np.float32)
+            bg = r.uniform(0.0, 0.28, size=(m, 1, 1, 3)).astype(np.float32)
+            gx = r.uniform(-0.004, 0.004, size=(m, 1, 1, 1)).astype(np.float32)
+            gy = r.uniform(-0.004, 0.004, size=(m, 1, 1, 1)).astype(np.float32)
+            img = bg + gx * xx[None, :, :, None] + gy * yy[None, :, :, None]
+            img = np.clip(img, 0.0, 0.35)
+            for k in range(K):
+                d = sdf(ptype[lab, k][:, None, None],
+                        xx[None] - cx[:, k, None, None],
+                        yy[None] - cy[:, k, None, None],
+                        rad[:, k, None, None])
+                mask = np.clip(0.5 - d / aa, 0.0, 1.0)[..., None]
+                img = img * (1.0 - mask) + col[:, k, None, None, :] * mask
+            img += r.normal(0, 0.03, size=img.shape).astype(np.float32)
+            imgs[lo:hi] = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        return SplitArrays(imgs, labels)
+
+    return Dataset(name=name, train=split(n_train, 3), test=split(n_test, 4),
+                   num_classes=num_classes, synthetic=True)
+
+
+DATASETS = ("cifar10", "cifar100", "synth100", "shapes100")
 
 
 def load_dataset(dataset_name: str, root: str, allow_synthetic: bool = True,
@@ -234,6 +340,10 @@ def load_dataset(dataset_name: str, root: str, allow_synthetic: bool = True,
         # always generated (never on disk): the non-saturating benchmark
         n_train, n_test = synthetic_sizes or (50000, 10000)
         return make_synthetic_hard("synth100", 100, n_train, n_test)
+    if dataset_name == "shapes100":
+        # always generated: the augmentation-invariant-structure benchmark
+        n_train, n_test = synthetic_sizes or (50000, 10000)
+        return make_synthetic_shapes("shapes100", 100, n_train, n_test)
     num_classes = 10 if dataset_name == "cifar10" else 100
 
     from . import native_io
