@@ -3,6 +3,8 @@ reference trainer (e.g. simclr.py:12-19, dino.py:13-22), defined once."""
 
 from __future__ import annotations
 
+import jax.numpy as jnp
+
 from . import resnet, vit
 from .tiny import TinyEncoder, TINY_DIM
 
@@ -39,6 +41,8 @@ def build_encoder(arch: str, encoder_cfg: dict):
             num_encoder_layers=cfg["num_encoder_layers"],
             num_global_patches=cfg["num_global_patches"],
             num_local_patches=cfg["num_local_patches"],
+            seq_pad_multiple=int(cfg.get("seq_pad_multiple", 0)),
+            **({"dtype": jnp.dtype(cfg["dtype"])} if "dtype" in cfg else {}),
         )
         return model, cfg["hidden_dim"]
     entry = NETWORKS[arch]
@@ -49,5 +53,7 @@ def build_encoder(arch: str, encoder_cfg: dict):
     allowed = {"reduce_bottom_conv", "zero_init_residual", "dtype",
                "param_dtype", "features"}
     cfg = {k: v for k, v in cfg.items() if k in allowed}
+    if "dtype" in cfg:
+        cfg["dtype"] = jnp.dtype(cfg["dtype"])
     model = entry["net"](**cfg)
     return model, entry["dim"]

@@ -18,10 +18,13 @@ Parity notes against reference networks/vit.py:
   * forward returns the CLS embedding; per-layer attention maps on request
     (vit.py:114-117).
 
-TPU notes: all matmuls run in bf16 on the MXU with f32 accumulation
-(`preferred_element_type` via flax dtype handling); sequence lengths are tiny
-(<= 65 tokens) so attention is a plain fused softmax(QK^T)V — no need for
-custom kernels at this scale.
+TPU notes: the residual stream and all matmul operands are bf16 (LayerNorm
+statistics stay f32 inside flax, but LN emits bf16 — an f32 residual stream
+forced an f32<->bf16 layout copy per sublayer, profiled as the top DINO
+"data formatting" cost). Only the attention score einsum accumulates in f32
+(`preferred_element_type`); probs@V and the Dense layers run plain bf16.
+Sequence lengths are tiny (<= 65 tokens) so attention is a plain fused
+softmax(QK^T)V — no need for custom kernels at this scale.
 """
 
 from __future__ import annotations
@@ -39,7 +42,7 @@ class SelfAttention(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, valid_len: int | None = None):
         b, n, _ = x.shape
         head = self.hidden_dim // self.num_heads
         dense = lambda name: nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
@@ -56,6 +59,12 @@ class SelfAttention(nn.Module):
         v = dense("value")(x).reshape(b, n, self.num_heads, head)
         scores = jnp.einsum("bihd,bjhd->bhij", q, k,
                             preferred_element_type=jnp.float32) / jnp.sqrt(head)
+        if valid_len is not None and valid_len < n:
+            # sequence padded for MXU tile alignment: padded KEY positions
+            # must not receive attention mass (padded QUERY rows are never
+            # read — only CLS at position 0 leaves the encoder)
+            key_mask = (jnp.arange(n) < valid_len)[None, None, None, :]
+            scores = jnp.where(key_mask, scores, jnp.float32(-1e9))
         probs = nn.softmax(scores, axis=-1)
         out = jnp.einsum("bhij,bjhd->bihd", probs.astype(self.dtype), v)
         out = out.reshape(b, n, self.hidden_dim)
@@ -83,9 +92,9 @@ class TransformerLayer(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, valid_len: int | None = None):
         y, probs = SelfAttention(self.hidden_dim, self.num_heads, self.dtype,
-                                 name="attention")(x)
+                                 name="attention")(x, valid_len=valid_len)
         y = FeedForward(self.hidden_dim, self.intermediate_dim, self.dtype,
                         name="feedfwd")(y)
         return y, probs
@@ -132,6 +141,12 @@ class TransformerEncoder(nn.Module):
     num_global_patches: int
     num_local_patches: int
     dtype: Any = jnp.bfloat16
+    # Pad the token sequence to a multiple of this (0 = off) and mask the
+    # padded keys: 65 tokens mis-tile the MXU's 8-row granularity (65 -> 72,
+    # 5 -> 8). Exact by construction (padded keys masked, padded queries
+    # never read); measured on-chip before shipping a default — see
+    # VALIDATION.md "DINO full-size data-path work".
+    seq_pad_multiple: int = 0
 
     @nn.compact
     def __call__(self, img, train: bool = True, return_attn: bool = False):
@@ -183,11 +198,19 @@ class TransformerEncoder(nn.Module):
             [jnp.broadcast_to(cls_tok[None], (b, 1, self.hidden_dim)), tok], axis=1)
         x = x + (pos.astype(dt) @ w_pos.astype(dt))[None] + bias.astype(dt)
 
+        seq = n + 1
+        valid_len = None
+        if self.seq_pad_multiple:
+            pad = (-seq) % self.seq_pad_multiple
+            if pad:
+                x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+                valid_len = seq
+
         attn = {}
         for i in range(self.num_encoder_layers):
             x, probs = TransformerLayer(self.hidden_dim, self.intermediate_dim,
                                         self.num_attention_heads, self.dtype,
-                                        name=f"layer_{i}")(x)
+                                        name=f"layer_{i}")(x, valid_len=valid_len)
             attn[f"layer_{i}"] = probs
 
         cls_out = x[:, 0, :].astype(jnp.float32)

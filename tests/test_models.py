@@ -222,3 +222,26 @@ def test_vit_conv_embedding_full_forward_parity():
     want = np.asarray(x[:, 0, :])
     got = np.asarray(m.apply(v, img))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_vit_seq_pad_parity():
+    """seq_pad_multiple pads tokens to an MXU-aligned length (65->72, 5->8)
+    with masked keys; the CLS output must match the unpadded encoder to
+    numerical tolerance for BOTH pos tables (global and local inputs), and
+    the same param tree must serve both variants."""
+    m, _ = build_encoder("vit", VIT_CFG)
+    mp, _ = build_encoder("vit", {**VIT_CFG, "seq_pad_multiple": 8})
+    k = jax.random.PRNGKey(0)
+    v = m.init(k, jnp.zeros((2, 32, 32, 3)))
+    for shape in [(2, 32, 32, 3), (2, 8, 8, 3)]:
+        x = jax.random.normal(jax.random.PRNGKey(1), shape)
+        out = m.apply(v, x)
+        out_p = mp.apply(v, x)  # identical param tree
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out),
+                                   rtol=2e-2, atol=2e-2)
+        # padded keys carry no attention mass
+        _, attn = mp.apply(v, x, return_attn=True)
+        n_valid = 65 if shape[1] == 32 else 5
+        probs = np.asarray(attn["layer_0"], np.float32)
+        assert probs.shape[-1] % 8 == 0
+        assert probs[..., :1, n_valid:].max() < 1e-6  # CLS row, pad columns
