@@ -58,33 +58,38 @@ class MLPHead(nn.Module):
         return x
 
 
-def simclr_projection(input_dim: int, proj_dim: int) -> MLPHead:
+def simclr_projection(input_dim: int, proj_dim: int,
+                      dtype: Any = jnp.bfloat16) -> MLPHead:
     """fc(d,d)-bn-relu-fc(d,p)-bn (no final act)."""
-    return MLPHead(widths=(input_dim, proj_dim), bn_after=(0, 1))
+    return MLPHead(widths=(input_dim, proj_dim), bn_after=(0, 1), dtype=dtype)
 
 
-def byol_mlp(input_dim: int, output_dim: int) -> MLPHead:
+def byol_mlp(input_dim: int, output_dim: int,
+             dtype: Any = jnp.bfloat16) -> MLPHead:
     """fc(d,d)-bn-relu-fc(d,p)."""
-    return MLPHead(widths=(input_dim, output_dim), bn_after=(0,))
+    return MLPHead(widths=(input_dim, output_dim), bn_after=(0,), dtype=dtype)
 
 
-def simsiam_projector(proj_dim: int) -> MLPHead:
+def simsiam_projector(proj_dim: int, dtype: Any = jnp.bfloat16) -> MLPHead:
     """fc-bn-relu ×2 then fc-bn."""
-    return MLPHead(widths=(proj_dim, proj_dim, proj_dim), bn_after=(0, 1, 2))
+    return MLPHead(widths=(proj_dim, proj_dim, proj_dim), bn_after=(0, 1, 2),
+                   dtype=dtype)
 
 
-def simsiam_predictor(proj_dim: int, bottleneck_dim: int) -> MLPHead:
-    return MLPHead(widths=(bottleneck_dim, proj_dim), bn_after=(0,))
+def simsiam_predictor(proj_dim: int, bottleneck_dim: int,
+                      dtype: Any = jnp.bfloat16) -> MLPHead:
+    return MLPHead(widths=(bottleneck_dim, proj_dim), bn_after=(0,), dtype=dtype)
 
 
-def barlow_projection(proj_dim: int) -> MLPHead:
+def barlow_projection(proj_dim: int, dtype: Any = jnp.bfloat16) -> MLPHead:
     return MLPHead(widths=(proj_dim, proj_dim, proj_dim), bn_after=(0, 1),
-                   l2_norm_out=True)
+                   l2_norm_out=True, dtype=dtype)
 
 
-def swav_projection(hidden_dim: int, proj_dim: int) -> MLPHead:
+def swav_projection(hidden_dim: int, proj_dim: int,
+                    dtype: Any = jnp.bfloat16) -> MLPHead:
     return MLPHead(widths=(hidden_dim, proj_dim), bn_after=(0, 1), act="gelu",
-                   l2_norm_out=True)
+                   l2_norm_out=True, dtype=dtype)
 
 
 class LinearHead(nn.Module):

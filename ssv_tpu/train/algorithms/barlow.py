@@ -19,9 +19,10 @@ class BarlowTwins(Algorithm):
 
     def __init__(self, config, arch: str, data: DataInfo):
         super().__init__(config, arch, data)
-        encoder, dim = build_encoder(arch, config.get("encoder"))
+        encoder, dim = build_encoder(arch, self.encoder_cfg())
         self.model = Tower(encoder=encoder,
-                           proj=barlow_projection(int(config["proj_dim"])))
+                           proj=barlow_projection(int(config["proj_dim"]),
+                                                  dtype=self.head_dtype))
         self.loss_cfg = dict(config.get("loss_fn", {}) or {})
         self.fuse = bool(config.get("fuse_views", False))
         self.tx = self.make_tx()

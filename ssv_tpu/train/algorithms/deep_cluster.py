@@ -45,7 +45,7 @@ class DeepCluster(Algorithm):
     def __init__(self, config, arch: str, data: DataInfo):
         super().__init__(config, arch, data)
         self.num_classes = int(config.get("num_classes", data.num_classes))
-        encoder, dim = build_encoder(arch, config.get("encoder"))
+        encoder, dim = build_encoder(arch, self.encoder_cfg())
         self.model = DCNet(encoder=encoder, num_classes=self.num_classes)
         km = dict(config.get("kmeans", {}) or {})
         self.kmeans_iters = int(km.get("n_iters", 300))

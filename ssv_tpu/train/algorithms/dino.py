@@ -38,12 +38,15 @@ class DINO(Algorithm):
         super().__init__(config, arch, data)
         head_cfg = dict(config["proj_head"])
         self.proj_dim = int(head_cfg["proj_dim"])
-        enc_s, dim = build_encoder(arch, config.get("encoder"))
-        enc_t, _ = build_encoder(arch, config.get("encoder"))
+        enc_s, dim = build_encoder(arch, self.encoder_cfg())
+        enc_t, _ = build_encoder(arch, self.encoder_cfg())
+        dt = self.head_dtype
         self.student = Tower(encoder=enc_s,
-                             proj=DinoHead(int(head_cfg["hidden_dim"]), self.proj_dim))
+                             proj=DinoHead(int(head_cfg["hidden_dim"]),
+                                           self.proj_dim, dtype=dt))
         self.teacher = Tower(encoder=enc_t,
-                             proj=DinoHead(int(head_cfg["hidden_dim"]), self.proj_dim))
+                             proj=DinoHead(int(head_cfg["hidden_dim"]),
+                                           self.proj_dim, dtype=dt))
 
         self.temp_student = float(config.get("student_temp", 0.1))
         self.temp_t_lower = float(config.get("teacher_temp_lower", 0.04))

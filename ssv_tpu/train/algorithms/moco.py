@@ -28,9 +28,10 @@ class MoCo(Algorithm):
     def __init__(self, config, arch: str, data: DataInfo):
         super().__init__(config, arch, data)
         self.proj_dim = int(config["proj_dim"])
-        encoder, dim = build_encoder(arch, config.get("encoder"))
+        encoder, dim = build_encoder(arch, self.encoder_cfg())
         self.model = Tower(encoder=encoder,
-                           proj=LinearHead(self.proj_dim, pre_relu=True))
+                           proj=LinearHead(self.proj_dim, pre_relu=True,
+                                           dtype=self.head_dtype))
         self.queue_size = int(config["queue_size"])
         self.m = float(config.get("momentum", 0.999))
         self.loss_cfg = dict(config.get("loss_fn", {}) or {})

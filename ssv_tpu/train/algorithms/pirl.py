@@ -68,7 +68,7 @@ class PIRL(Algorithm):
         self.patch_size = int(config.get("patch_size", 16))
         self.m = float(config.get("momentum", 0.5))
         self.num_negatives = int(config.get("num_negatives", 1000))
-        encoder, dim = build_encoder(arch, config.get("encoder"))
+        encoder, dim = build_encoder(arch, self.encoder_cfg())
         self.model = PirlNet(encoder=encoder, proj_dim=self.proj_dim,
                              patch_size=self.patch_size,
                              num_patches=self.num_patches)

@@ -25,11 +25,12 @@ class ReLIC(Algorithm):
     def __init__(self, config, arch: str, data: DataInfo):
         super().__init__(config, arch, data)
         proj_dim = int(config["proj_dim"])
-        encoder, dim = build_encoder(arch, config.get("encoder"))
-        encoder_t, _ = build_encoder(arch, config.get("encoder"))
-        self.online = Tower(encoder=encoder, proj=byol_mlp(dim, proj_dim),
-                            pred=byol_mlp(proj_dim, proj_dim), norm_out=True)
-        self.target = Tower(encoder=encoder_t, proj=byol_mlp(dim, proj_dim),
+        encoder, dim = build_encoder(arch, self.encoder_cfg())
+        encoder_t, _ = build_encoder(arch, self.encoder_cfg())
+        dt = self.head_dtype
+        self.online = Tower(encoder=encoder, proj=byol_mlp(dim, proj_dim, dt),
+                            pred=byol_mlp(proj_dim, proj_dim, dt), norm_out=True)
+        self.target = Tower(encoder=encoder_t, proj=byol_mlp(dim, proj_dim, dt),
                             norm_out=True)
         self.tau_lower = float(config.get("tau_lower", config.get("tau", 0.996)))
         self.tau_upper = float(config.get("tau_upper", 1.0))

@@ -54,7 +54,7 @@ class SeLA(Algorithm):
         # with all-one-cluster labels; VALIDATION.md) and is therefore kept
         # behind the flag rather than as the default.
         self.sl_mode = str(config.get("self_label_mode", "sinkhorn"))
-        encoder, dim = build_encoder(arch, config.get("encoder"))
+        encoder, dim = build_encoder(arch, self.encoder_cfg())
         self.model = SelaNet(encoder=encoder, num_clusters=self.num_clusters,
                              num_heads=self.num_heads)
         # quadratically-spaced re-labelling epochs (sela.py:70)

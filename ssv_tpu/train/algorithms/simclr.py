@@ -19,9 +19,10 @@ class SimCLR(Algorithm):
 
     def __init__(self, config, arch: str, data: DataInfo):
         super().__init__(config, arch, data)
-        encoder, dim = build_encoder(arch, config.get("encoder"))
+        encoder, dim = build_encoder(arch, self.encoder_cfg())
         self.model = Tower(encoder=encoder,
-                           proj=simclr_projection(dim, int(config["proj_dim"])))
+                           proj=simclr_projection(dim, int(config["proj_dim"]),
+                                                  dtype=self.head_dtype))
         self.loss_cfg = dict(config.get("loss_fn", {}) or {})
         # fuse_views=true runs both views through ONE forward of a 2N batch
         # (the SimCLR paper's actual formulation; halves kernel launches and

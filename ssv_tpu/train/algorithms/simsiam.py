@@ -32,18 +32,22 @@ class SimSiam(Algorithm):
         super().__init__(config, arch, data)
         proj_dim = int(config["proj_dim"])
         bottleneck = int(config.get("bottleneck_dim", 128))
-        encoder, dim = build_encoder(arch, config.get("encoder"))
+        encoder, dim = build_encoder(arch, self.encoder_cfg())
         # projector input is encoder_dim; reference projector maps
         # encoder_dim -> proj_dim -> proj_dim -> proj_dim
-        self.online = Tower(encoder=encoder, proj=simsiam_projector(proj_dim),
-                            pred=simsiam_predictor(proj_dim, bottleneck),
+        dt = self.head_dtype
+        self.online = Tower(encoder=encoder,
+                            proj=simsiam_projector(proj_dim, dtype=dt),
+                            pred=simsiam_predictor(proj_dim, bottleneck,
+                                                   dtype=dt),
                             norm_out=True)
         self.mode = str(config.get("target_mode", "stopgrad"))
         self.fuse = bool(config.get("fuse_views", False))
         if self.mode == "frozen":
-            encoder_t, _ = build_encoder(arch, config.get("encoder"))
+            encoder_t, _ = build_encoder(arch, self.encoder_cfg())
             self.target = Tower(encoder=encoder_t,
-                                proj=simsiam_projector(proj_dim), norm_out=True)
+                                proj=simsiam_projector(proj_dim, dtype=dt),
+                                norm_out=True)
         self.tx = self.make_tx()
 
     def init_state(self, rng) -> TrainState:

@@ -25,10 +25,11 @@ class SwAV(Algorithm):
     def __init__(self, config, arch: str, data: DataInfo):
         super().__init__(config, arch, data)
         self.proj_dim = int(config["proj_dim"])
-        encoder, dim = build_encoder(arch, config.get("encoder"))
+        encoder, dim = build_encoder(arch, self.encoder_cfg())
         self.model = Tower(encoder=encoder,
                            proj=swav_projection(int(config["hidden_dim"]),
-                                                self.proj_dim))
+                                                self.proj_dim,
+                                                dtype=self.head_dtype))
         self.prototypes = Prototypes(int(config["prototype_size"]), self.proj_dim)
         self.bank_size = int(config["feature_bank_size"])
         self.loss_cfg = dict(config.get("loss_fn", {}) or {})

@@ -74,6 +74,24 @@ class Algorithm:
         self.data = data
         self.epochs = int(config["epochs"])
         self.total_steps = self.epochs * data.steps_per_epoch
+        # `compute_dtype: float32` switches every encoder/head matmul off
+        # bf16 — bf16 gradients are reduction-order-dependent, so exact
+        # sharded-vs-single equivalence (tests/test_sharding.py) and any
+        # bitwise-repro debugging need the f32 mode. Default (None) keeps
+        # the bf16 MXU path.
+        self.compute_dtype = config.get("compute_dtype")
+
+    def encoder_cfg(self) -> dict:
+        """Encoder config block with `compute_dtype` folded in."""
+        cfg = dict(self.config.get("encoder") or {})
+        if self.compute_dtype:
+            cfg.setdefault("dtype", self.compute_dtype)
+        return cfg
+
+    @property
+    def head_dtype(self):
+        import jax.numpy as jnp
+        return jnp.dtype(self.compute_dtype) if self.compute_dtype else jnp.bfloat16
 
     # -- required -----------------------------------------------------
     def init_state(self, rng) -> TrainState:

@@ -91,11 +91,13 @@ def mini_config(algo: str, epochs=1, batch_size=16):
 
 
 def make_trainer(algo: str, tmp_path, arch="tiny", epochs=1, batch_size=16,
-                 n_train=64, n_test=32):
+                 n_train=64, n_test=32, cfg_extra=None, **trainer_kw):
     import yaml
     from ssv_tpu.train import Trainer
 
     cfg = mini_config(algo, epochs=epochs, batch_size=batch_size)
+    if cfg_extra:
+        cfg.update(cfg_extra)
     cfg_path = tmp_path / f"{algo}.yaml"
     with open(cfg_path, "w") as f:
         yaml.dump(cfg, f, sort_keys=False)
@@ -103,4 +105,4 @@ def make_trainer(algo: str, tmp_path, arch="tiny", epochs=1, batch_size=16,
     os.chdir(tmp_path)  # outputs/ under tmp
     args = {"config": str(cfg_path), "algo": algo, "arch": arch,
             "task": "train", "output": "testrun", "load": None}
-    return Trainer(args, synthetic_sizes=(n_train, n_test))
+    return Trainer(args, synthetic_sizes=(n_train, n_test), **trainer_kw)

@@ -133,3 +133,44 @@ def test_dryrun_multichip_entry():
     out = jax.jit(fn)(*args)
     assert out.shape == (8, 128)
     dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("algo", ["moco", "swav"])
+def test_long_horizon_sharded_equivalence(algo, tmp_path, mesh):
+    """VERDICT round-2 item 6: multi-EPOCH curve equivalence, not just one
+    step. f32 (`compute_dtype`), same seed: a 10-epoch run on the 8-device
+    mesh must reproduce the single-device loss curve to float tolerance and
+    the identical final KNN. Covers the stateful (moco ring queue) and
+    banked (swav feature bank + full-pass init) families — the class of bug
+    single-step tests miss (key-folding drift, stats diverging across scan
+    iterations, bank index skew)."""
+    import sys
+    sys.path.insert(0, str(tmp_path.parent))
+    from helpers import make_trainer
+
+    epochs = 10
+    f32 = {"compute_dtype": "float32",
+           "encoder": {"reduce_bottom_conv": True, "dtype": "float32"}}
+
+    def run(use_mesh, sub):
+        d = tmp_path / sub
+        d.mkdir()
+        t = make_trainer(algo, d, epochs=epochs, batch_size=16, n_train=96,
+                         n_test=48, cfg_extra=f32, use_mesh=use_mesh)
+        state = t.algorithm.pre_train(t.state, t)
+        losses = []
+        for e in range(1, epochs + 1):
+            state = t.algorithm.pre_epoch(state, t, e)
+            t.rng, k_perm, k_epoch = jax.random.split(t.rng, 3)
+            idx_mat = t._shard_idx_mat(t.pipeline.epoch_indices(k_perm))
+            state, metrics = t._epoch_fn(state, *t._train_arrays, idx_mat,
+                                         k_epoch)
+            state = t._post_epoch_fn(state, jnp.asarray(e))
+            losses.append(float(np.asarray(metrics["loss"]).mean()))
+        t.state = state
+        return losses, t.knn_validate()
+
+    losses_1, knn_1 = run(False, "single")
+    losses_8, knn_8 = run(True, "sharded")
+    np.testing.assert_allclose(losses_8, losses_1, rtol=1e-4, atol=1e-5)
+    assert knn_8 == pytest.approx(knn_1, abs=1e-6), (knn_8, knn_1)
