@@ -39,8 +39,18 @@ VALIDATION = os.path.join(REPO, "VALIDATION.md")
 ARCH = {"dino": "vit"}  # default resnet18 otherwise
 
 
+def _set_dotted(cfg: dict, key: str, value):
+    """Apply `a.b.c=value` into nested dicts (creates intermediate dicts)."""
+    parts = key.split(".")
+    d = cfg
+    for p in parts[:-1]:
+        d = d.setdefault(p, {})
+    d[parts[-1]] = value
+
+
 def run_one(algo: str, epochs: int, dataset: str, eval_every: int,
-            sizes: tuple[int, int], batch: int | None, overrides: dict):
+            sizes: tuple[int, int], batch: int | None, overrides: dict,
+            probe_encoder: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -54,7 +64,8 @@ def run_one(algo: str, epochs: int, dataset: str, eval_every: int,
     cfg["wandb"] = {"project": None}
     if batch:
         cfg["data"]["batch_size"] = batch
-    cfg.update(overrides)
+    for k, v in overrides.items():
+        _set_dotted(cfg, k, v)
 
     d = f"/tmp/quality_{algo}_{dataset}"
     os.makedirs(d, exist_ok=True)
@@ -74,7 +85,7 @@ def run_one(algo: str, epochs: int, dataset: str, eval_every: int,
     print(f"[{algo}] dataset resolved: {resolved}", flush=True)
     images, labels = tr._train_arrays
     state = tr.algorithm.pre_train(tr.state, tr)
-    knn_curve, ips_hist, ent_curve = [], [], []
+    knn_curve, ips_hist, ent_curve, backbone_curve = [], [], [], []
 
     def track_entropy(st):
         """Pseudo-label distribution entropy (VERDICT round-2 item 2): for
@@ -100,11 +111,23 @@ def run_one(algo: str, epochs: int, dataset: str, eval_every: int,
             tr.state = state
             knn = tr.knn_validate()
             knn_curve.append((e, round(knn, 4)))
-            print(f"[{algo}/{dataset}] epoch {e}/{epochs} loss={loss:.4f} "
-                  f"knn={knn:.4f} ips={ips_hist[-1]:,.0f}", flush=True)
+            msg = (f"[{algo}/{dataset}] epoch {e}/{epochs} loss={loss:.4f} "
+                   f"knn={knn:.4f} ips={ips_hist[-1]:,.0f}")
+            if probe_encoder and tr.algorithm.embed_backbone(
+                    state, jnp.zeros((1, 32, 32, 3))) is not None:
+                from ssv_tpu.evals.knn import compute_neighbor_accuracy
+                fv, gt = tr.features_for(
+                    state, "test",
+                    feature_fn=lambda st, x: tr.algorithm.embed_backbone(st, x))
+                bk = compute_neighbor_accuracy(fv, gt, k=20)
+                backbone_curve.append((e, round(bk, 4)))
+                msg += f" knn_backbone={bk:.4f}"
+            print(msg, flush=True)
     tr.state = state
     linear = tr.perform_linear_eval()
     extra_fields = {}
+    if backbone_curve:
+        extra_fields["knn_backbone_curve"] = backbone_curve
     if ent_curve:
         K = getattr(tr.algorithm, "num_clusters",
                     getattr(tr.algorithm, "num_classes", None))
@@ -143,7 +166,11 @@ def main():
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--tag", required=True)
     ap.add_argument("--set", action="append", default=[],
-                    help="top-level config override key=yaml_value")
+                    help="config override key=yaml_value; dotted keys descend "
+                         "(data.transforms.train.random_resized_crop.scale=[0.5,1])")
+    ap.add_argument("--probe-encoder", action="store_true",
+                    help="also report raw-backbone-feature KNN at eval epochs "
+                         "(separates head collapse from representation collapse)")
     ap.add_argument("--cpu", action="store_true",
                     help="debug on CPU (axon sitecustomize overrides "
                          "JAX_PLATFORMS, so this must be set in-process)")
@@ -166,7 +193,7 @@ def main():
         try:
             r = run_one(algo, args.epochs, args.dataset, eval_every,
                         (args.n_train, args.n_test), args.batch or None,
-                        overrides)
+                        overrides, probe_encoder=args.probe_encoder)
         except Exception as e:
             r = {"algo": algo, "error": f"{type(e).__name__}: {e}"}
         results.append(r)

@@ -87,3 +87,7 @@ class BYOL(Algorithm):
     def embed(self, state, images):
         # reference build_features uses the full online network (byol.py:103-118)
         return apply_eval(self.online, state.params, state.batch_stats, images)
+
+    def embed_backbone(self, state, images):
+        return apply_eval(self.online.encoder, state.params["encoder"],
+                          state.batch_stats.get("encoder", {}), images)

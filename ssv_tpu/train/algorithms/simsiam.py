@@ -111,3 +111,7 @@ class SimSiam(Algorithm):
 
     def embed(self, state, images):
         return apply_eval(self.online, state.params, state.batch_stats, images)
+
+    def embed_backbone(self, state, images):
+        return apply_eval(self.online.encoder, state.params["encoder"],
+                          state.batch_stats.get("encoder", {}), images)

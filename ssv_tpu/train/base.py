@@ -108,6 +108,14 @@ class Algorithm:
         per-algorithm semantics of the reference's build_features."""
         raise NotImplementedError
 
+    def embed_backbone(self, state: TrainState, images):
+        """Raw encoder features (before any projection/prediction head), or
+        None if the algorithm has no separate backbone. Diagnostic surface:
+        separates representation collapse (backbone dead) from head collapse
+        (backbone fine, projector/predictor degenerate) — the distinction
+        that matters when a negative-free method flatlines."""
+        return None
+
     # -- optional hooks ------------------------------------------------
     def post_epoch(self, state: TrainState, epoch) -> TrainState:
         """Jitted per-epoch state update (e.g. DINO's per-epoch teacher EMA)."""

@@ -137,3 +137,19 @@ def test_simsiam_frozen_mode_keeps_target(tmp_path):
     st, _ = _step(t2)
     for before, after in zip(tp0, _leaves(st.extra["target_params"])):
         np.testing.assert_array_equal(before, np.asarray(after))
+
+
+def test_embed_backbone_diagnostic_surface(tmp_path):
+    """embed_backbone returns raw encoder features for the negative-free
+    family (collapse diagnostics in quality runs) and None where no
+    separate backbone semantic exists."""
+    t = make_trainer("byol", tmp_path)
+    x = jnp.zeros((4, 32, 32, 3), jnp.float32)
+    f = t.algorithm.embed_backbone(t.state, x)
+    assert f.shape == (4, 64)  # tiny encoder dim, pre-projection
+    z = t.algorithm.embed(t.state, x)
+    assert z.shape[-1] == 16   # full online path is proj_dim
+    sub = tmp_path / "s"
+    sub.mkdir()
+    t2 = make_trainer("simclr", sub)
+    assert t2.algorithm.embed_backbone(t2.state, x) is None
