@@ -31,7 +31,9 @@ import time
 
 BASELINE_IMG_PER_SEC = 2000.0  # estimate; overridden by BASELINE_MEASURED.json
 V5E_PEAK_FLOPS = 197e12        # bf16 peak of one v5e chip
-BATCH = 512
+# batch-scaling study (VALIDATION.md): the headline stays at 512 (reference
+# parity); SSV_BENCH_BATCH overrides for the 1024/2048 scaling rows
+BATCH = int(os.environ.get("SSV_BENCH_BATCH", 512))
 SCAN_STEPS = 100
 
 
@@ -149,6 +151,7 @@ def main():
         "vs_baseline": round(ips / baseline, 2),
         "baseline_img_per_sec": baseline,
         "baseline_source": baseline_src,
+        "batch": BATCH,
     }
     if measured is not None:
         out["measured_host_pipeline_img_per_sec"] = measured

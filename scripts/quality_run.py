@@ -50,7 +50,7 @@ def _set_dotted(cfg: dict, key: str, value):
 
 def run_one(algo: str, epochs: int, dataset: str, eval_every: int,
             sizes: tuple[int, int], batch: int | None, overrides: dict,
-            probe_encoder: bool = False):
+            probe_encoder: bool = False, arch: str | None = None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -73,7 +73,7 @@ def run_one(algo: str, epochs: int, dataset: str, eval_every: int,
         yaml.dump(cfg, f, sort_keys=False)
     os.chdir(d)
     args = {"config": f"{d}/cfg.yaml", "algo": algo,
-            "arch": ARCH.get(algo, "resnet18"), "task": "train",
+            "arch": arch or ARCH.get(algo, "resnet18"), "task": "train",
             "output": "run", "load": None}
 
     t0 = time.time()
@@ -168,6 +168,8 @@ def main():
     ap.add_argument("--set", action="append", default=[],
                     help="config override key=yaml_value; dotted keys descend "
                          "(data.transforms.train.random_resized_crop.scale=[0.5,1])")
+    ap.add_argument("--arch", default=None,
+                    help="override backbone (default: vit for dino, else resnet18)")
     ap.add_argument("--probe-encoder", action="store_true",
                     help="also report raw-backbone-feature KNN at eval epochs "
                          "(separates head collapse from representation collapse)")
@@ -193,7 +195,8 @@ def main():
         try:
             r = run_one(algo, args.epochs, args.dataset, eval_every,
                         (args.n_train, args.n_test), args.batch or None,
-                        overrides, probe_encoder=args.probe_encoder)
+                        overrides, probe_encoder=args.probe_encoder,
+                        arch=args.arch)
         except Exception as e:
             r = {"algo": algo, "error": f"{type(e).__name__}: {e}"}
         results.append(r)

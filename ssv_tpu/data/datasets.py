@@ -260,13 +260,24 @@ def make_synthetic_shapes(name: str = "shapes100", num_classes: int = 100,
     K = 3  # shapes per class
     scale = image_size / 32.0
 
-    # class prototypes: (type, radius, cx, cy) per slot
+    # class prototypes: (type, radius, cx, cy, texture type, texture freq)
+    # per slot. Textures are the load-bearing class signal for the
+    # negative-free family (diag runs A-E, VALIDATION.md): outline geometry
+    # alone left BYOL at chance in BOTH this framework and a torch
+    # reimplementation of the reference recipe, while CIFAR — where BYOL
+    # demonstrably works — is texture-separable. Each shape's interior
+    # carries a class-characteristic luminance texture from a
+    # flip-symmetric family (h-stripes / v-stripes / rings / checker), with
+    # the PHASE redrawn per instance: type survives crop/flip/photometric
+    # ops exactly, frequency up to RRC zoom, phase is pure nuisance.
     ptype = rng.randint(0, 5, size=(num_classes, K))
     prad = rng.uniform(3.2, 6.2, size=(num_classes, K)).astype(np.float32) * scale
     ang = rng.uniform(0, 2 * np.pi, size=(num_classes, K)).astype(np.float32)
     dist = rng.uniform(2.5, 9.5, size=(num_classes, K)).astype(np.float32) * scale
     pcx = dist * np.cos(ang)
     pcy = dist * np.sin(ang)  # relative to image center
+    ttype = rng.randint(0, 4, size=(num_classes, K))
+    tfreq = rng.uniform(0.18, 0.40, size=(num_classes, K)).astype(np.float32) / scale
 
     yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
     xx -= (W - 1) / 2.0
@@ -306,21 +317,51 @@ def make_synthetic_shapes(name: str = "shapes100", num_classes: int = 100,
             cy = (pcy[lab] * g + ty
                   + r.uniform(-1, 1, size=(m, K)).astype(np.float32) * scale)
             rad = prad[lab] * g * r.uniform(0.92, 1.08, size=(m, K)).astype(np.float32)
-            # colors: bright shapes (lum >= 0.55) on a dark gradient
-            # background (lum <= ~0.35) so grayscale keeps the contrast
-            col = 0.55 + 0.45 * r.rand(m, K, 3).astype(np.float32)
-            bg = r.uniform(0.0, 0.28, size=(m, 1, 1, 3)).astype(np.float32)
-            gx = r.uniform(-0.004, 0.004, size=(m, 1, 1, 1)).astype(np.float32)
-            gy = r.uniform(-0.004, 0.004, size=(m, 1, 1, 1)).astype(np.float32)
+            # colors: bright NEAR-NEUTRAL shapes (lum 0.55-0.95, tint <=
+            # +-0.08) on a dark near-neutral gradient background. Measured
+            # failure mode of saturated random colors (diag runs A/B): the
+            # reference's hue jitter is only 0.1, so a saturated instance
+            # hue SURVIVES the train augmentations and hands the
+            # negative-free family a zero-class-information invariant to
+            # latch onto (BYOL collapsed to chance; SimCLR was immune —
+            # 512 negatives make color alone insufficient to discriminate
+            # instances). Near-neutral colors leave luminance as the only
+            # color nuisance, and brightness jitter 0.4 scrambles that.
+            # diag E narrowed the bands further: relative per-shape
+            # luminance ordering survives multiplicative brightness jitter,
+            # so a wide luminance band was itself a stable class-orthogonal
+            # invariant. Appearance nuisance is now ~zero; the only cross-
+            # view-stable structure left is the geometry, i.e. the class.
+            lum = r.uniform(0.72, 0.88, size=(m, K, 1)).astype(np.float32)
+            tint = r.uniform(-0.05, 0.05, size=(m, K, 3)).astype(np.float32)
+            col = np.clip(lum + tint, 0.5, 1.0)
+            bg_l = r.uniform(0.04, 0.16, size=(m, 1, 1, 1)).astype(np.float32)
+            bg_t = r.uniform(-0.03, 0.03, size=(m, 1, 1, 3)).astype(np.float32)
+            bg = np.clip(bg_l + bg_t, 0.0, 0.2)
+            gx = r.uniform(-0.002, 0.002, size=(m, 1, 1, 1)).astype(np.float32)
+            gy = r.uniform(-0.002, 0.002, size=(m, 1, 1, 1)).astype(np.float32)
             img = bg + gx * xx[None, :, :, None] + gy * yy[None, :, :, None]
-            img = np.clip(img, 0.0, 0.35)
+            img = np.clip(img, 0.0, 0.22)
             for k in range(K):
-                d = sdf(ptype[lab, k][:, None, None],
-                        xx[None] - cx[:, k, None, None],
-                        yy[None] - cy[:, k, None, None],
+                dx = xx[None] - cx[:, k, None, None]
+                dy = yy[None] - cy[:, k, None, None]
+                d = sdf(ptype[lab, k][:, None, None], dx, dy,
                         rad[:, k, None, None])
                 mask = np.clip(0.5 - d / aa, 0.0, 1.0)[..., None]
-                img = img * (1.0 - mask) + col[:, k, None, None, :] * mask
+                # class-characteristic interior texture, instance phase
+                f = tfreq[lab, k][:, None, None]
+                tt = ttype[lab, k][:, None, None]
+                ph = r.uniform(0, 2 * np.pi, size=(m, 1, 1)).astype(np.float32)
+                ph2 = r.uniform(0, 2 * np.pi, size=(m, 1, 1)).astype(np.float32)
+                rr = np.sqrt(dx * dx + dy * dy)
+                tex = np.where(tt == 0, np.sin(2 * np.pi * f * dy + ph), 0.0)
+                tex = np.where(tt == 1, np.sin(2 * np.pi * f * dx + ph), tex)
+                tex = np.where(tt == 2, np.sin(2 * np.pi * f * rr + ph), tex)
+                tex = np.where(tt == 3, np.sin(2 * np.pi * f * dx + ph)
+                               * np.sin(2 * np.pi * f * dy + ph2), tex)
+                shade = (col[:, k, None, None, :]
+                         * (1.0 + 0.45 * tex[..., None]))
+                img = img * (1.0 - mask) + np.clip(shade, 0.0, 1.0) * mask
             img += r.normal(0, 0.03, size=img.shape).astype(np.float32)
             imgs[lo:hi] = (np.clip(img, 0, 1) * 255).astype(np.uint8)
         return SplitArrays(imgs, labels)
