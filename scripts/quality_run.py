@@ -131,11 +131,11 @@ def run_one(algo: str, epochs: int, dataset: str, eval_every: int,
     if ent_curve:
         K = getattr(tr.algorithm, "num_clusters",
                     getattr(tr.algorithm, "num_classes", None))
-        extra_fields = {
+        extra_fields.update({
             "pseudo_entropy_min": min(ent_curve),
             "pseudo_entropy_last": ent_curve[-1],
             "half_log_K": round(0.5 * float(np.log(K)), 3) if K else None,
-        }
+        })
     return {
         **extra_fields,
         "algo": algo, "dataset": dataset, "resolved_dataset": resolved,
