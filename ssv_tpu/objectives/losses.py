@@ -226,22 +226,32 @@ def sinkhorn_codes(scores, eps: float = 0.05, n_iters: int = 3):
     Under a data-sharded batch the column axis is local but the row sums
     span the global batch — jit over globally-sharded arrays makes the
     `sum` collectives automatic. Wrapped in stop_gradient (reference runs
-    under no_grad)."""
+    under no_grad).
+
+    The iteration runs in log domain (each step is the exact log of the
+    reference's scaling step): exp(s/eps) overflows f32 whenever
+    s/eps > 88, which SeLA's self-labelling hits on real head logits
+    (eps = 1/lambda = 0.04 -> any logit above ~3.5), silently turning the
+    whole plan into NaN and every argmax pseudo-label into 0 — measured as
+    a full label collapse on the chip (VALIDATION.md, shapes100 SeLA row).
+    logsumexp-normalized scalings are overflow/underflow-free at any eps;
+    for well-conditioned inputs (SwAV's |s|<=1, eps 0.05) the result
+    matches the linear-domain oracle to f32 rounding."""
+    from jax.scipy.special import logsumexp
+
     def _codes(s):
-        q = jnp.exp(s / eps).T                      # (K, B)
-        q = q / jnp.sum(q)
-        K, B = q.shape
-        r = jnp.ones((K,)) / K
-        c = jnp.ones((B,)) / B
+        lq = (s / eps).T                            # (K, B) log kernel
+        K, B = lq.shape
+        lr = -jnp.log(K)                            # log uniform marginals
+        lc = -jnp.log(B)
 
-        def body(_, q):
-            u = jnp.sum(q, axis=1)
-            q = q * (r / u)[:, None]
-            q = q * (c / jnp.sum(q, axis=0))[None, :]
-            return q
+        def body(_, lq):
+            lq = lq - logsumexp(lq, axis=1, keepdims=True) + lr
+            lq = lq - logsumexp(lq, axis=0, keepdims=True) + lc
+            return lq
 
-        q = jax.lax.fori_loop(0, n_iters, body, q)
-        return (q / jnp.sum(q, axis=0, keepdims=True)).T
+        lq = jax.lax.fori_loop(0, n_iters, body, lq)
+        return jnp.exp(lq - logsumexp(lq, axis=0, keepdims=True)).T
 
     return jax.lax.stop_gradient(_codes(scores))
 

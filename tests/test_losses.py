@@ -246,6 +246,26 @@ def test_sinkhorn_and_swav():
     assert got == pytest.approx(want, rel=1e-4)
 
 
+def test_sinkhorn_large_logits_no_overflow():
+    """Regression: exp(s/eps) overflowed f32 for SeLA-sharp eps (1/25) on
+    real head logits, NaN-ing the plan and collapsing every argmax
+    pseudo-label to 0 (measured on the chip — shapes100 SeLA run). The
+    log-domain iteration must match a float64 linear-domain oracle and
+    yield balanced labels."""
+    local_rs = np.random.RandomState(7)  # own stream: shared `rs` order matters
+    s = local_rs.randn(64, 16) * 5.0     # |s|/eps up to ~400: f32 exp dies
+    eps, iters = 0.04, 3
+    got = np.asarray(sinkhorn_codes(jnp.array(s, dtype=jnp.float32), eps, iters))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got.sum(1), np.ones(64), rtol=1e-3)
+    want = sinkhorn_oracle(s.astype(np.float64), eps, iters)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-6)
+    labels = got.argmax(1)
+    counts = np.bincount(labels, minlength=16).astype(np.float64)
+    p = counts[counts > 0] / counts.sum()
+    assert -(p * np.log(p)).sum() >= 0.5 * np.log(16), counts
+
+
 def test_swav_with_bank():
     bs, K, d, nb = 4, 6, 5, 7
     z1, z2 = _norm(rs.randn(bs, d)), _norm(rs.randn(bs, d))
