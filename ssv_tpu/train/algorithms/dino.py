@@ -158,3 +158,9 @@ class DINO(Algorithm):
         # reference build_features: student output, not re-normalized
         # (dino.py:184-193; the missing .cpu() there is a defect — SURVEY §2)
         return apply_eval(self.student, state.params, state.batch_stats, images)
+
+    def embed_backbone(self, state, images):
+        # raw student-encoder CLS features (pre-DinoHead) — the collapse
+        # diagnostic surface, same semantics as BYOL/SimSiam's
+        return apply_eval(self.student.encoder, state.params["encoder"],
+                          state.batch_stats.get("encoder", {}), images)

@@ -153,3 +153,9 @@ def test_embed_backbone_diagnostic_surface(tmp_path):
     sub.mkdir()
     t2 = make_trainer("simclr", sub)
     assert t2.algorithm.embed_backbone(t2.state, x) is None
+    sub2 = tmp_path / "d"
+    sub2.mkdir()
+    t3 = make_trainer("dino", sub2)
+    f3 = t3.algorithm.embed_backbone(t3.state, x)
+    assert f3 is not None and f3.shape[0] == 4
+    assert f3.shape[-1] != t3.algorithm.proj_dim  # pre-head, not projector
