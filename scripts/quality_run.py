@@ -190,6 +190,38 @@ def main():
         k, v = kv.split("=", 1)
         overrides[k] = yaml.safe_load(v)
 
+    # The VALIDATION table is appended INCREMENTALLY — header lazily at the
+    # first finished algorithm, one row per algorithm as it completes —
+    # because a multi-algo run can die mid-way (the axon relay hang of
+    # 2026-08-17 truncated a run after hours) and the finished rows must
+    # survive. Markdown table rows stand alone, so a truncated section is
+    # still a valid table.
+    header_written = False
+
+    def append_row(r):
+        nonlocal header_written
+        if args.no_write:
+            return
+        with open(VALIDATION, "a") as f:
+            if not header_written:
+                resolved = r.get(
+                    "resolved_dataset",
+                    f"{args.dataset} ({args.n_train:,} train / {args.n_test:,} test)")
+                f.write(f"\n## Quality run: {args.tag}\n\n")
+                f.write(f"Real v5e chip, dataset `{resolved}`, "
+                        f"{args.epochs} epochs, shipped full-size configs"
+                        + (f", overrides {overrides}" if overrides else "") + ".\n\n")
+                f.write("| algorithm | batch | KNN curve (epoch: acc) | best KNN | "
+                        "linear | img/s/chip | wall |\n|---|---|---|---|---|---|---|\n")
+                header_written = True
+            if "error" in r:
+                f.write(f"| {r['algo']} | — | ERROR: {r['error']} | — | — | — | — |\n")
+            else:
+                curve = " ".join(f"{e}:{k}" for e, k in r["knn_curve"])
+                f.write(f"| {r['algo']} | {r['batch']} | {curve} | "
+                        f"{r['best_knn']} | {r['linear']} | "
+                        f"{r['img_per_sec']:,} | {r['wall_s']}s |\n")
+
     results = []
     for algo in args.algos.split(","):
         try:
@@ -201,27 +233,11 @@ def main():
             r = {"algo": algo, "error": f"{type(e).__name__}: {e}"}
         results.append(r)
         print(json.dumps(r), flush=True)
+        append_row(r)
 
-    if args.no_write:
+    if args.no_write or not header_written:
         return
-    resolved = next((r["resolved_dataset"] for r in results
-                     if "resolved_dataset" in r),
-                    f"{args.dataset} ({args.n_train:,} train / {args.n_test:,} test)")
     with open(VALIDATION, "a") as f:
-        f.write(f"\n## Quality run: {args.tag}\n\n")
-        f.write(f"Real v5e chip, dataset `{resolved}`, "
-                f"{args.epochs} epochs, shipped full-size configs"
-                + (f", overrides {overrides}" if overrides else "") + ".\n\n")
-        f.write("| algorithm | batch | KNN curve (epoch: acc) | best KNN | "
-                "linear | img/s/chip | wall |\n|---|---|---|---|---|---|---|\n")
-        for r in results:
-            if "error" in r:
-                f.write(f"| {r['algo']} | — | ERROR: {r['error']} | — | — | — | — |\n")
-            else:
-                curve = " ".join(f"{e}:{k}" for e, k in r["knn_curve"])
-                f.write(f"| {r['algo']} | {r['batch']} | {curve} | "
-                        f"{r['best_knn']} | {r['linear']} | "
-                        f"{r['img_per_sec']:,} | {r['wall_s']}s |\n")
         notes = [f"{r['algo']}: pseudo-label entropy min {r['pseudo_entropy_min']} "
                  f"/ last {r['pseudo_entropy_last']} (collapse bar 0.5·log K = "
                  f"{r['half_log_K']})"
