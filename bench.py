@@ -21,12 +21,29 @@ Also reports MFU: XLA's own cost analysis of the compiled epoch program
 gives exact FLOPs; divided by wall time and the v5e's 197 bf16-TFLOP/s peak.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Relay-outage resilience (VERDICT r3 item 2): the measurement runs in a
+subprocess; backend-init failures matching the axon-relay outage signatures
+(UNAVAILABLE / "Unable to initialize backend" — the 2026-08-17 incident,
+CLAUDE.md triage notes) are retried with generous backoff (default
+60+120+300+600+900 s, covering the observed ~30-45 min wedge window). On
+final failure the script still prints ONE structured JSON line
+({"error": "relay_unavailable", ...}) instead of a raw traceback, so the
+driver's BENCH capture always parses. Knobs (all env):
+  SSV_BENCH_RETRY_SCHEDULE  comma-separated backoff seconds
+  SSV_BENCH_FAIL_COUNTER    path to a file holding N: the next N inner
+                            attempts fail with a fake UNAVAILABLE (kill-test
+                            of the retry path; see tests/test_bench_retry.py)
+  SSV_BENCH_CPU=1           force the CPU backend (tests)
+  SSV_BENCH_STEPS / SSV_BENCH_NTRAIN / SSV_BENCH_BATCH  size overrides
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 BASELINE_IMG_PER_SEC = 2000.0  # estimate; overridden by BASELINE_MEASURED.json
@@ -34,7 +51,18 @@ V5E_PEAK_FLOPS = 197e12        # bf16 peak of one v5e chip
 # batch-scaling study (VALIDATION.md): the headline stays at 512 (reference
 # parity); SSV_BENCH_BATCH overrides for the 1024/2048 scaling rows
 BATCH = int(os.environ.get("SSV_BENCH_BATCH", 512))
-SCAN_STEPS = 100
+SCAN_STEPS = int(os.environ.get("SSV_BENCH_STEPS", 100))
+N_TRAIN = int(os.environ.get("SSV_BENCH_NTRAIN", 8192))
+
+# backend-init failure signatures that mean "relay outage, worth waiting out"
+# (observed 2026-08-17: RuntimeError: Unable to initialize backend 'tpu':
+# UNAVAILABLE: ...; probes holding no chip claim while stuck in init)
+RETRYABLE_SIGNATURES = (
+    "UNAVAILABLE",
+    "Unable to initialize backend",
+    "DEADLINE_EXCEEDED",
+    "failed to connect",
+)
 
 
 def _measured_baseline() -> tuple[float, str, float | None]:
@@ -58,8 +86,96 @@ def _measured_baseline() -> tuple[float, str, float | None]:
             "the measured same-host ceiling)", measured)
 
 
+def _retry_schedule() -> list[float]:
+    raw = os.environ.get("SSV_BENCH_RETRY_SCHEDULE", "60,120,300,600,900")
+    return [float(x) for x in raw.split(",") if x.strip()]
+
+
+def _extract_json_line(stdout: str) -> str | None:
+    """Last parseable JSON object line in the inner process's stdout."""
+    found = None
+    for ln in stdout.splitlines():
+        ln = ln.strip()
+        if ln.startswith("{") and ln.endswith("}"):
+            try:
+                json.loads(ln)
+                found = ln
+            except ValueError:
+                pass
+    return found
+
+
+def run_with_retry(cmd: list[str], schedule: list[float] | None = None,
+                   env: dict | None = None) -> int:
+    """Run `cmd` (which prints one JSON result line on success), retrying
+    relay-outage init failures with backoff. Always prints exactly one JSON
+    line to stdout; non-JSON inner stdout and all inner stderr are relayed
+    to stderr. Returns the exit code for the caller."""
+    schedule = _retry_schedule() if schedule is None else schedule
+    run_env = dict(os.environ if env is None else env)
+    attempts = 0
+    last_err, retryable = "", False
+    for i in range(len(schedule) + 1):
+        attempts += 1
+        proc = subprocess.run(cmd, env=run_env, capture_output=True, text=True)
+        json_line = _extract_json_line(proc.stdout)
+        for ln in proc.stdout.splitlines():
+            if ln.strip() != json_line:
+                sys.stderr.write(ln + "\n")
+        sys.stderr.write(proc.stderr)
+        if proc.returncode == 0 and json_line:
+            out = json.loads(json_line)
+            if attempts > 1:
+                out["attempts"] = attempts
+            print(json.dumps(out))
+            return 0
+        blob = proc.stderr + proc.stdout
+        err_lines = [ln for ln in proc.stderr.splitlines() if ln.strip()]
+        last_err = err_lines[-1] if err_lines else f"rc={proc.returncode}"
+        retryable = any(s in blob for s in RETRYABLE_SIGNATURES)
+        if not retryable or i == len(schedule):
+            break
+        sys.stderr.write(f"[bench] backend-init failure (attempt {attempts}); "
+                         f"retrying in {schedule[i]:.0f}s — relay outages "
+                         f"recover in ~30-45 min (CLAUDE.md)\n")
+        sys.stderr.flush()
+        time.sleep(schedule[i])
+    print(json.dumps({
+        "metric": "ssl_pretrain_images_per_sec_per_chip",
+        "value": None, "unit": "images/sec/chip", "vs_baseline": None,
+        "error": "relay_unavailable" if retryable else "bench_failed",
+        "attempts": attempts, "last_error": last_err[-500:],
+    }))
+    return 1
+
+
+def _maybe_fake_outage():
+    """Kill-test hook: SSV_BENCH_FAIL_COUNTER=<file holding N> makes the
+    next N inner attempts die with the real outage signature, exercising
+    the classify/backoff/relay path without touching the TPU."""
+    path = os.environ.get("SSV_BENCH_FAIL_COUNTER")
+    if not path:
+        return
+    try:
+        n = int(open(path).read().strip() or 0)
+    except (OSError, ValueError):
+        n = 0
+    if n > 0:
+        with open(path, "w") as f:
+            f.write(str(n - 1))
+        raise RuntimeError(
+            "FAKE OUTAGE: Unable to initialize backend 'tpu': UNAVAILABLE: "
+            "injected by SSV_BENCH_FAIL_COUNTER")
+
+
 def main():
+    _maybe_fake_outage()
     import jax
+
+    if os.environ.get("SSV_BENCH_CPU"):
+        # the axon sitecustomize force-overrides JAX_PLATFORMS at interpreter
+        # start, so CPU mode must be requested in-process
+        jax.config.update("jax_platforms", "cpu")
 
     # persistent compile cache: repeat runs (driver reruns, CI) skip the
     # multi-minute XLA compile of the scanned epoch program
@@ -77,7 +193,7 @@ def main():
     from __graft_entry__ import _mini_simclr
     from ssv_tpu.data.augment import build_transform
 
-    n_train = 8192
+    n_train = N_TRAIN
     algo, transforms = _mini_simclr(batch_size=BATCH, n_train=n_train)
     train_t = build_transform(transforms["train"])
 
@@ -148,9 +264,12 @@ def main():
         "metric": "ssl_pretrain_images_per_sec_per_chip",
         "value": round(ips, 1),
         "unit": "images/sec/chip",
-        "vs_baseline": round(ips / baseline, 2),
+        # the measured baseline is a batch-512 pipeline: the ratio is only
+        # apples-to-apples at the headline batch (advisor r3)
+        "vs_baseline": round(ips / baseline, 2) if BATCH == 512 else None,
         "baseline_img_per_sec": baseline,
         "baseline_source": baseline_src,
+        "baseline_batch": 512,
         "batch": BATCH,
     }
     if measured is not None:
@@ -163,4 +282,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SSV_BENCH_INNER"):
+        main()
+    else:
+        sys.exit(run_with_retry(
+            [sys.executable, os.path.abspath(__file__)],
+            env=dict(os.environ, SSV_BENCH_INNER="1")))

@@ -13,6 +13,20 @@ Schedule parity (all pure functions of the global step here):
   * center: per-step EMA (momentum 0.9) of teacher outputs, randn init
     (dino.py:68,136-141);
   * per-element gradient clamp +-gradient_clip (dino.py:75-79).
+
+Corrected-recipe switches (same policy as PIRL's corrected NCE, SeLA's
+log-domain Sinkhorn and SimSiam's stop-grad default — learning-relevant
+defects of the reference recipe stay available behind the faithful default):
+
+  * ``teacher_update: epoch`` (faithful default) | ``step`` — the per-EPOCH
+    teacher EMA is a reference quirk; the DINO paper updates the teacher
+    every STEP with the cosine lambda over total steps. On hard data the
+    per-epoch quirk makes the uniform centering fixed point absorbing
+    (measured: VALIDATION.md, shapes100-dino-1000ep — loss pinned at
+    2*ln(K) for 700 epochs); per-step EMA is the escape hatch.
+  * ``center_init: randn`` (faithful, dino.py:68) | ``zeros`` — the paper
+    registers a zero center buffer; randn init injects a spurious O(1)
+    offset that the momentum-0.9 center EMA takes ~44 steps to forget.
 """
 
 from __future__ import annotations
@@ -57,6 +71,16 @@ class DINO(Algorithm):
         self.lambda_upper = float(config.get("lambda_upper", 1.0))
         self.wd_lower = float(config.get("weight_decay_lower", 0.04))
         self.wd_upper = float(config.get("weight_decay_upper", 0.4))
+        self.teacher_update = str(config.get("teacher_update", "epoch"))
+        if self.teacher_update not in ("epoch", "step"):
+            raise ValueError(
+                f"teacher_update must be 'epoch' (faithful) or 'step' (paper "
+                f"recipe), got {self.teacher_update!r}")
+        self.center_init = str(config.get("center_init", "randn"))
+        if self.center_init not in ("randn", "zeros"):
+            raise ValueError(
+                f"center_init must be 'randn' (faithful) or 'zeros' (paper), "
+                f"got {self.center_init!r}")
 
         mc = dict(config["data"]["multicrop_config"])
         self.global_size = tuple(mc["global_size"])
@@ -89,7 +113,9 @@ class DINO(Algorithm):
         extra = {
             "teacher_params": t_params,
             "teacher_batch_stats": t_bstats,
-            "center": jax.random.normal(k_c, (1, self.proj_dim)),
+            "center": (jnp.zeros((1, self.proj_dim))
+                       if self.center_init == "zeros"
+                       else jax.random.normal(k_c, (1, self.proj_dim))),
         }
         return TrainState(jnp.zeros((), jnp.int32), params, bstats,
                           self.tx.init(params), extra)
@@ -140,16 +166,27 @@ class DINO(Algorithm):
         t_mean = pmean_tree(jnp.mean(t_all, 0, keepdims=True), axis)
         center = self.center_m * center + (1 - self.center_m) * t_mean
 
+        t_params = state.extra["teacher_params"]
+        if self.teacher_update == "step":
+            # paper recipe: per-step EMA of the freshly-updated student,
+            # cosine lambda over the TOTAL step horizon
+            lbd = cosine_ramp(state.step, self.total_steps,
+                              self.lambda_lower, self.lambda_upper)
+            t_params = ema_update(t_params, params, lbd)
+
         new = state.replace(
             step=state.step + 1, params=params,
             batch_stats=pmean_tree(bstats, axis), opt_state=opt_state,
-            extra={"teacher_params": state.extra["teacher_params"],
+            extra={"teacher_params": t_params,
                    "teacher_batch_stats": pmean_tree(t_bs, axis),
                    "center": center})
         return new, {"loss": loss}
 
     def post_epoch(self, state, epoch):
-        """Per-epoch teacher EMA with cosine lambda (dino.py:129-134,227)."""
+        """Per-epoch teacher EMA with cosine lambda (dino.py:129-134,227).
+        No-op under ``teacher_update: step`` (EMA happens in train_step)."""
+        if self.teacher_update == "step":
+            return state
         lbd = cosine_ramp(epoch, self.epochs, self.lambda_lower, self.lambda_upper)
         t_params = ema_update(state.extra["teacher_params"], state.params, lbd)
         return state.replace(extra={**state.extra, "teacher_params": t_params})

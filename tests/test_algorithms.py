@@ -73,6 +73,73 @@ def test_dino_conv_backbone_step(tmp_path):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_dino_step_ema_algebra(tmp_path):
+    """`teacher_update: step` (corrected recipe — the paper's per-step
+    momentum teacher, vs the reference's per-EPOCH quirk at
+    dino.py:129-134,227): after every train step the teacher must equal
+    lambda(step) * teacher + (1 - lambda(step)) * new_student with the
+    cosine lambda over the TOTAL step horizon, and post_epoch must be a
+    no-op. Also pins `center_init: zeros`."""
+    from ssv_tpu.utils.schedules import cosine_ramp
+
+    t = make_trainer("dino", tmp_path, arch="tiny", batch_size=8,
+                     cfg_extra={"teacher_update": "step",
+                                "center_init": "zeros"})
+    images, labels = t._train_arrays
+    state = t.state
+    np.testing.assert_array_equal(np.asarray(state.extra["center"]), 0.0)
+    algo = t.algorithm
+    for s in range(2):
+        teacher_before = jax.tree_util.tree_map(
+            np.asarray, state.extra["teacher_params"])  # copy: state is donated
+        step_before = int(state.step)
+        idx = jnp.arange(8, dtype=jnp.int32)
+        state, _ = t._step_fn(state, images, labels, idx, jax.random.PRNGKey(s))
+        lbd = float(cosine_ramp(step_before, algo.total_steps,
+                                algo.lambda_lower, algo.lambda_upper))
+        expect = jax.tree_util.tree_map(
+            lambda tt, oo: lbd * tt + (1.0 - lbd) * np.asarray(oo),
+            teacher_before, state.params)
+        for a, b in zip(jax.tree_util.tree_leaves(expect),
+                        jax.tree_util.tree_leaves(state.extra["teacher_params"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+    stepped = jax.tree_util.tree_map(np.asarray, state.extra["teacher_params"])
+    after = t._post_epoch_fn(state, jnp.asarray(1))
+    for a, b in zip(jax.tree_util.tree_leaves(stepped),
+                    jax.tree_util.tree_leaves(after.extra["teacher_params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dino_epoch_mode_teacher_frozen_within_epoch(tmp_path):
+    """Faithful default (`teacher_update: epoch`): train_step must NOT touch
+    the teacher; only post_epoch applies the per-epoch EMA quirk."""
+    t = make_trainer("dino", tmp_path, arch="tiny", batch_size=8, epochs=2)
+    images, labels = t._train_arrays
+    teacher_before = jax.tree_util.tree_map(
+        np.asarray, t.state.extra["teacher_params"])
+    state, _ = t._step_fn(t.state, images, labels,
+                          jnp.arange(8, dtype=jnp.int32), jax.random.PRNGKey(0))
+    for a, b in zip(jax.tree_util.tree_leaves(teacher_before),
+                    jax.tree_util.tree_leaves(state.extra["teacher_params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    after = t._post_epoch_fn(state, jnp.asarray(1))
+    diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+             for a, b in zip(jax.tree_util.tree_leaves(after.extra["teacher_params"]),
+                             jax.tree_util.tree_leaves(state.extra["teacher_params"]))]
+    assert max(diffs) > 0.0  # per-epoch EMA actually moved the teacher
+
+
+def test_dino_rejects_bad_recipe_flags(tmp_path):
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        make_trainer("dino", tmp_path, arch="tiny", batch_size=8,
+                     cfg_extra={"teacher_update": "sometimes"})
+    with _pytest.raises(ValueError):
+        make_trainer("dino", tmp_path, arch="tiny", batch_size=8,
+                     cfg_extra={"center_init": "ones"})
+
+
 def test_checkpoint_roundtrip(tmp_path):
     t = make_trainer("simclr", tmp_path)
     images, labels = t._train_arrays
