@@ -43,9 +43,21 @@ def _set_dotted(cfg: dict, key: str, value):
     """Apply `a.b.c=value` into nested dicts (creates intermediate dicts)."""
     parts = key.split(".")
     d = cfg
-    for p in parts[:-1]:
+    for i, p in enumerate(parts[:-1]):
+        if p in d and not isinstance(d[p], dict):
+            raise ValueError(
+                f"--set {key}: {'.'.join(parts[:i + 1])} is a scalar "
+                f"({d[p]!r}), cannot descend into it")
         d = d.setdefault(p, {})
     d[parts[-1]] = value
+
+
+# algorithms with a projector/predictor asymmetry, where the full-path
+# metric (reference semantics: predictor/head output) can be noisy while
+# the backbone representation is fine — their quality rows always carry
+# the raw-backbone KNN column (VERDICT r3 item 5: SimSiam's shapes100
+# full-path KNN swung 0.70->0.18->0.29 while its backbone sat at 0.95)
+PROBE_DEFAULT = {"byol", "simsiam", "dino"}
 
 
 def run_one(algo: str, epochs: int, dataset: str, eval_every: int,
@@ -86,6 +98,12 @@ def run_one(algo: str, epochs: int, dataset: str, eval_every: int,
     images, labels = tr._train_arrays
     state = tr.algorithm.pre_train(tr.state, tr)
     knn_curve, ips_hist, ent_curve, backbone_curve = [], [], [], []
+    # decide the backbone probe ONCE (advisor r3): default-on for the
+    # asymmetric-head family, and only if the algorithm overrides the hook
+    from ssv_tpu.train.base import Algorithm
+    probe = ((probe_encoder or algo in PROBE_DEFAULT)
+             and type(tr.algorithm).embed_backbone
+             is not Algorithm.embed_backbone)
 
     def track_entropy(st):
         """Pseudo-label distribution entropy (VERDICT round-2 item 2): for
@@ -113,8 +131,7 @@ def run_one(algo: str, epochs: int, dataset: str, eval_every: int,
             knn_curve.append((e, round(knn, 4)))
             msg = (f"[{algo}/{dataset}] epoch {e}/{epochs} loss={loss:.4f} "
                    f"knn={knn:.4f} ips={ips_hist[-1]:,.0f}")
-            if probe_encoder and tr.algorithm.embed_backbone(
-                    state, jnp.zeros((1, 32, 32, 3))) is not None:
+            if probe:
                 from ssv_tpu.evals.knn import compute_neighbor_accuracy
                 fv, gt = tr.features_for(
                     state, "test",
@@ -128,6 +145,7 @@ def run_one(algo: str, epochs: int, dataset: str, eval_every: int,
     extra_fields = {}
     if backbone_curve:
         extra_fields["knn_backbone_curve"] = backbone_curve
+        extra_fields["best_knn_backbone"] = max(k for _, k in backbone_curve)
     if ent_curve:
         K = getattr(tr.algorithm, "num_clusters",
                     getattr(tr.algorithm, "num_classes", None))
@@ -172,7 +190,8 @@ def main():
                     help="override backbone (default: vit for dino, else resnet18)")
     ap.add_argument("--probe-encoder", action="store_true",
                     help="also report raw-backbone-feature KNN at eval epochs "
-                         "(separates head collapse from representation collapse)")
+                         "(separates head collapse from representation "
+                         "collapse); default-on for byol/simsiam/dino")
     ap.add_argument("--cpu", action="store_true",
                     help="debug on CPU (axon sitecustomize overrides "
                          "JAX_PLATFORMS, so this must be set in-process)")
@@ -212,14 +231,17 @@ def main():
                         f"{args.epochs} epochs, shipped full-size configs"
                         + (f", overrides {overrides}" if overrides else "") + ".\n\n")
                 f.write("| algorithm | batch | KNN curve (epoch: acc) | best KNN | "
-                        "linear | img/s/chip | wall |\n|---|---|---|---|---|---|---|\n")
+                        "backbone KNN (best) | linear | img/s/chip | wall |\n"
+                        "|---|---|---|---|---|---|---|---|\n")
                 header_written = True
             if "error" in r:
-                f.write(f"| {r['algo']} | — | ERROR: {r['error']} | — | — | — | — |\n")
+                f.write(f"| {r['algo']} | — | ERROR: {r['error']} | — | — | — | — | — |\n")
             else:
                 curve = " ".join(f"{e}:{k}" for e, k in r["knn_curve"])
+                bk = r.get("best_knn_backbone")
                 f.write(f"| {r['algo']} | {r['batch']} | {curve} | "
-                        f"{r['best_knn']} | {r['linear']} | "
+                        f"{r['best_knn']} | {bk if bk is not None else '—'} | "
+                        f"{r['linear']} | "
                         f"{r['img_per_sec']:,} | {r['wall_s']}s |\n")
 
     results = []

@@ -211,6 +211,11 @@ class TransformerEncoder(nn.Module):
             x, probs = TransformerLayer(self.hidden_dim, self.intermediate_dim,
                                         self.num_attention_heads, self.dtype,
                                         name=f"layer_{i}")(x, valid_len=valid_len)
+            if valid_len is not None:
+                # alignment padding is an internal artifact: attention-map
+                # consumers (per-patch reshapes, visualization) must always
+                # see n_patches+1 on both query and key axes (advisor r3)
+                probs = probs[..., :valid_len, :valid_len]
             attn[f"layer_{i}"] = probs
 
         cls_out = x[:, 0, :].astype(jnp.float32)

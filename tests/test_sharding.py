@@ -135,6 +135,60 @@ def test_dryrun_multichip_entry():
     dryrun_multichip(8)
 
 
+def test_eval_path_sharded_under_mesh(tmp_path, mesh):
+    """VERDICT r3 item 3: the Trainer's eval work (features_for / map_train /
+    stream_train — KNN feature building, linear-probe dumps, bank init,
+    DeepCluster's full-dataset forward) must run over `data`-sharded index
+    batches under a mesh, not replicated, and must produce features
+    identical to the unsharded path."""
+    import sys
+    sys.path.insert(0, str(tmp_path.parent))
+    from helpers import make_trainer
+
+    f32 = {"compute_dtype": "float32",
+           "encoder": {"reduce_bottom_conv": True, "dtype": "float32"}}
+
+    def build(use_mesh, sub):
+        d = tmp_path / sub
+        d.mkdir()
+        return make_trainer("simclr", d, batch_size=16, n_train=96, n_test=48,
+                            cfg_extra=f32, use_mesh=use_mesh)
+
+    t1 = build(False, "single")
+    t8 = build(True, "sharded")
+
+    # the eval program's index inputs must carry P("data")
+    seen = []
+    orig = t8._embed_batch
+
+    def spy(state, images, idx):
+        seen.append(idx.sharding)
+        return orig(state, images, idx)
+
+    t8._embed_batch = spy
+    fv1, gt1 = t1.features_for(t1.state, "test")
+    fv8, gt8 = t8.features_for(t8.state, "test")
+    assert seen and all(s.spec == P("data") for s in seen), seen
+    np.testing.assert_allclose(fv8, fv1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(gt8, gt1)
+
+    # map_train (DeepCluster's per-epoch full-dataset forward)
+    emb1 = t1.map_train(t1.state, t1.algorithm.embed)
+    emb8 = t8.map_train(t8.state, t8.algorithm.embed)
+    np.testing.assert_allclose(emb8, emb1, rtol=1e-5, atol=1e-6)
+
+    # stream_train (SeLA's self-labelling pass): yielded batches must match
+    # and the jitted program must have consumed sharded indices
+    for (z1, i1, c1), (z8, i8, c8) in zip(
+            t1.stream_train(t1.state, t1.algorithm.embed),
+            t8.stream_train(t8.state, t8.algorithm.embed)):
+        assert c1 == c8
+        np.testing.assert_allclose(np.asarray(z8), np.asarray(z1),
+                                   rtol=1e-5, atol=1e-6)
+    assert t8._shard_idx(jnp.arange(16, dtype=jnp.int32)).sharding.spec == \
+        P("data")
+
+
 @pytest.mark.parametrize("algo", ["moco", "swav"])
 def test_long_horizon_sharded_equivalence(algo, tmp_path, mesh):
     """VERDICT round-2 item 6: multi-EPOCH curve equivalence, not just one
