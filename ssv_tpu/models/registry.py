@@ -42,6 +42,7 @@ def build_encoder(arch: str, encoder_cfg: dict):
             num_global_patches=cfg["num_global_patches"],
             num_local_patches=cfg["num_local_patches"],
             seq_pad_multiple=int(cfg.get("seq_pad_multiple", 0)),
+            fuse_qkv=bool(cfg.get("fuse_qkv", False)),
             **({"dtype": jnp.dtype(cfg["dtype"])} if "dtype" in cfg else {}),
         )
         return model, cfg["hidden_dim"]

@@ -36,10 +36,25 @@ from flax import linen as nn
 from jax import lax
 
 
+class _Kernel(nn.Module):
+    """A bare Dense kernel (params[<name>]["kernel"], same tree/init as
+    nn.Dense) whose matmul is performed by the caller — lets fuse_qkv share
+    parameters and checkpoints with the unfused three-Dense layout."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.linear.default_kernel_init,
+                          (self.in_dim, self.out_dim), jnp.float32)
+
+
 class SelfAttention(nn.Module):
     hidden_dim: int
     num_heads: int
     dtype: Any = jnp.bfloat16
+    fuse_qkv: bool = False
 
     @nn.compact
     def __call__(self, x, valid_len: int | None = None):
@@ -54,9 +69,25 @@ class SelfAttention(nn.Module):
         # step. Head split/merge stays inside the einsums — no materialized
         # (b,h,n,d) transposes.
         identity = nn.LayerNorm(dtype=self.dtype, name="ln")(x)
-        q = dense("query")(x).reshape(b, n, self.num_heads, head)
-        k = dense("key")(x).reshape(b, n, self.num_heads, head)
-        v = dense("value")(x).reshape(b, n, self.num_heads, head)
+        if self.fuse_qkv:
+            # opt-in (VALIDATION.md MFU study): one (d, 3d) matmul instead
+            # of three (d, d) — triples the N dimension of the step's most
+            # common small matmul. Param TREE is unchanged (three separate
+            # kernels, concatenated at apply time), so checkpoints and the
+            # unfused path share parameters; the concat is 3*(d*d) f32 —
+            # noise next to the matmul itself.
+            in_dim = x.shape[-1]
+            w = jnp.concatenate(
+                [_Kernel(in_dim, self.hidden_dim, name="query")(),
+                 _Kernel(in_dim, self.hidden_dim, name="key")(),
+                 _Kernel(in_dim, self.hidden_dim, name="value")()],
+                axis=1).astype(self.dtype)
+            qkv = (x @ w).reshape(b, n, 3, self.num_heads, head)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        else:
+            q = dense("query")(x).reshape(b, n, self.num_heads, head)
+            k = dense("key")(x).reshape(b, n, self.num_heads, head)
+            v = dense("value")(x).reshape(b, n, self.num_heads, head)
         scores = jnp.einsum("bihd,bjhd->bhij", q, k,
                             preferred_element_type=jnp.float32) / jnp.sqrt(head)
         if valid_len is not None and valid_len < n:
@@ -90,10 +121,12 @@ class TransformerLayer(nn.Module):
     intermediate_dim: int
     num_heads: int
     dtype: Any = jnp.bfloat16
+    fuse_qkv: bool = False
 
     @nn.compact
     def __call__(self, x, valid_len: int | None = None):
         y, probs = SelfAttention(self.hidden_dim, self.num_heads, self.dtype,
+                                 self.fuse_qkv,
                                  name="attention")(x, valid_len=valid_len)
         y = FeedForward(self.hidden_dim, self.intermediate_dim, self.dtype,
                         name="feedfwd")(y)
@@ -147,6 +180,10 @@ class TransformerEncoder(nn.Module):
     # never read); measured on-chip before shipping a default — see
     # VALIDATION.md "DINO full-size data-path work".
     seq_pad_multiple: int = 0
+    # Fuse the per-layer Q/K/V projections into one (d, 3d) matmul (same
+    # param tree; kernels concatenated at apply time). Opt-in pending an
+    # on-chip measurement — see VALIDATION.md MFU-ceiling note.
+    fuse_qkv: bool = False
 
     @nn.compact
     def __call__(self, img, train: bool = True, return_attn: bool = False):
@@ -210,6 +247,7 @@ class TransformerEncoder(nn.Module):
         for i in range(self.num_encoder_layers):
             x, probs = TransformerLayer(self.hidden_dim, self.intermediate_dim,
                                         self.num_attention_heads, self.dtype,
+                                        self.fuse_qkv,
                                         name=f"layer_{i}")(x, valid_len=valid_len)
             if valid_len is not None:
                 # alignment padding is an internal artifact: attention-map

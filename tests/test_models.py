@@ -224,6 +224,34 @@ def test_vit_conv_embedding_full_forward_parity():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_vit_fuse_qkv_parity():
+    """fuse_qkv computes Q/K/V with one (d, 3d) matmul against the
+    concatenated kernels; the param TREE is identical to the three-Dense
+    layout (checkpoint compatible) and the same params must produce the
+    same outputs on both pos-table paths."""
+    m, _ = build_encoder("vit", {**VIT_CFG, "dtype": "float32"})
+    mf, _ = build_encoder("vit", {**VIT_CFG, "dtype": "float32",
+                                  "fuse_qkv": True})
+    k = jax.random.PRNGKey(0)
+    v = m.init(k, jnp.zeros((2, 32, 32, 3)))
+    vf = mf.init(k, jnp.zeros((2, 32, 32, 3)))
+    assert (jax.tree_util.tree_structure(v) ==
+            jax.tree_util.tree_structure(vf))
+    for a, b in zip(jax.tree_util.tree_leaves(v), jax.tree_util.tree_leaves(vf)):
+        assert a.shape == b.shape
+    for shape in [(2, 32, 32, 3), (2, 8, 8, 3)]:
+        x = jax.random.normal(jax.random.PRNGKey(1), shape)
+        out = m.apply(v, x)        # same param tree serves both variants
+        out_f = mf.apply(v, x)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out),
+                                   rtol=1e-5, atol=1e-5)
+        _, attn = mf.apply(v, x, return_attn=True)
+        _, attn0 = m.apply(v, x, return_attn=True)
+        np.testing.assert_allclose(np.asarray(attn["layer_0"]),
+                                   np.asarray(attn0["layer_0"]),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_vit_seq_pad_parity():
     """seq_pad_multiple pads tokens to an MXU-aligned length (65->72, 5->8)
     with masked keys; the CLS output must match the unpadded encoder to
