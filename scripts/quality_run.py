@@ -62,7 +62,8 @@ PROBE_DEFAULT = {"byol", "simsiam", "dino"}
 
 def run_one(algo: str, epochs: int, dataset: str, eval_every: int,
             sizes: tuple[int, int], batch: int | None, overrides: dict,
-            probe_encoder: bool = False, arch: str | None = None):
+            probe_encoder: bool = False, arch: str | None = None,
+            resume: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -96,7 +97,21 @@ def run_one(algo: str, epochs: int, dataset: str, eval_every: int,
     resolved += f" ({len(ds.train.images):,} train / {len(ds.test.images):,} test)"
     print(f"[{algo}] dataset resolved: {resolved}", flush=True)
     images, labels = tr._train_arrays
-    state = tr.algorithm.pre_train(tr.state, tr)
+    # Relay-truncation insurance (the 2026-08-17 hang killed a 1000-epoch
+    # DINO run at epoch 700 with nothing to resume): full TrainState is
+    # checkpointed at every eval epoch; --resume picks up from `latest`.
+    start_epoch = 1
+    if resume:
+        try:
+            tr.load_checkpoint(tr.output_dir)
+            state = tr.state
+            start_epoch = tr.start_epoch
+            print(f"[{algo}] resumed from {tr.output_dir} at epoch "
+                  f"{start_epoch}", flush=True)
+        except FileNotFoundError:
+            state = tr.algorithm.pre_train(tr.state, tr)
+    else:
+        state = tr.algorithm.pre_train(tr.state, tr)
     knn_curve, ips_hist, ent_curve, backbone_curve = [], [], [], []
     # decide the backbone probe ONCE (advisor r3): default-on for the
     # asymmetric-head family, and only if the algorithm overrides the hook
@@ -115,7 +130,7 @@ def run_one(algo: str, epochs: int, dataset: str, eval_every: int,
         p = counts[counts > 0] / counts.sum()
         ent_curve.append(round(float(-(p * np.log(p)).sum()), 3))
 
-    for e in range(1, epochs + 1):
+    for e in range(start_epoch, epochs + 1):
         state = tr.algorithm.pre_epoch(state, tr, e)
         track_entropy(state)
         tr.rng, k_perm, k_epoch = jax.random.split(tr.rng, 3)
@@ -127,6 +142,7 @@ def run_one(algo: str, epochs: int, dataset: str, eval_every: int,
         ips_hist.append(idx_mat.size / (time.time() - te))
         if e % eval_every == 0 or e == epochs:
             tr.state = state
+            tr.save_checkpoint("latest", epoch=e)
             knn = tr.knn_validate()
             knn_curve.append((e, round(knn, 4)))
             msg = (f"[{algo}/{dataset}] epoch {e}/{epochs} loss={loss:.4f} "
@@ -154,6 +170,8 @@ def run_one(algo: str, epochs: int, dataset: str, eval_every: int,
             "pseudo_entropy_last": ent_curve[-1],
             "half_log_K": round(0.5 * float(np.log(K)), 3) if K else None,
         })
+    if start_epoch > 1:
+        extra_fields["resumed_at"] = start_epoch
     return {
         **extra_fields,
         "algo": algo, "dataset": dataset, "resolved_dataset": resolved,
@@ -195,6 +213,9 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="debug on CPU (axon sitecustomize overrides "
                          "JAX_PLATFORMS, so this must be set in-process)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the run dir's `latest` checkpoint "
+                         "(saved at every eval epoch) after a relay hang")
     ap.add_argument("--no-write", action="store_true",
                     help="skip the VALIDATION.md append (smoke tests)")
     args = ap.parse_args()
@@ -238,6 +259,8 @@ def main():
                 f.write(f"| {r['algo']} | — | ERROR: {r['error']} | — | — | — | — | — |\n")
             else:
                 curve = " ".join(f"{e}:{k}" for e, k in r["knn_curve"])
+                if r.get("resumed_at"):
+                    curve = f"(resumed @{r['resumed_at']}) " + curve
                 bk = r.get("best_knn_backbone")
                 f.write(f"| {r['algo']} | {r['batch']} | {curve} | "
                         f"{r['best_knn']} | {bk if bk is not None else '—'} | "
@@ -250,7 +273,7 @@ def main():
             r = run_one(algo, args.epochs, args.dataset, eval_every,
                         (args.n_train, args.n_test), args.batch or None,
                         overrides, probe_encoder=args.probe_encoder,
-                        arch=args.arch)
+                        arch=args.arch, resume=args.resume)
         except Exception as e:
             r = {"algo": algo, "error": f"{type(e).__name__}: {e}"}
         results.append(r)
