@@ -247,8 +247,11 @@ def main():
                 resolved = r.get(
                     "resolved_dataset",
                     f"{args.dataset} ({args.n_train:,} train / {args.n_test:,} test)")
+                import jax
+                hw = ("Real v5e chip" if jax.default_backend() != "cpu"
+                      else "CPU (relay-outage fallback — NOT TPU timing)")
                 f.write(f"\n## Quality run: {args.tag}\n\n")
-                f.write(f"Real v5e chip, dataset `{resolved}`, "
+                f.write(f"{hw}, dataset `{resolved}`, "
                         f"{args.epochs} epochs, shipped full-size configs"
                         + (f", overrides {overrides}" if overrides else "") + ".\n\n")
                 f.write("| algorithm | batch | KNN curve (epoch: acc) | best KNN | "
