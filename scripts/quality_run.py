@@ -113,6 +113,7 @@ def run_one(algo: str, epochs: int, dataset: str, eval_every: int,
     else:
         state = tr.algorithm.pre_train(tr.state, tr)
     knn_curve, ips_hist, ent_curve, backbone_curve = [], [], [], []
+    teacher_curve = []  # DINO mechanism probe (VERDICT r4 weak #1)
     # decide the backbone probe ONCE (advisor r3): default-on for the
     # asymmetric-head family, and only if the algorithm overrides the hook
     from ssv_tpu.train.base import Algorithm
@@ -155,6 +156,20 @@ def run_one(algo: str, epochs: int, dataset: str, eval_every: int,
                 bk = compute_neighbor_accuracy(fv, gt, k=20)
                 backbone_curve.append((e, round(bk, 4)))
                 msg += f" knn_backbone={bk:.4f}"
+            if hasattr(tr.algorithm, "teacher_stats"):
+                # teacher-output distribution health: is the teacher's
+                # effective target sample-dependent at all? (mi == 0 iff
+                # sample-independent — the absorbing uniform point)
+                t_out, _ = tr.features_for(
+                    state, "test",
+                    feature_fn=lambda st, x: tr.algorithm.embed_teacher(st, x))
+                ts = tr.algorithm.teacher_stats(state, t_out)
+                teacher_curve.append(
+                    (e, round(ts["mi"], 5), f"{ts['prob_std']:.2e}",
+                     round(ts["raw_std"], 4), round(ts["ent_frac"], 4)))
+                msg += (f" t_mi={ts['mi']:.5f} t_pstd={ts['prob_std']:.2e}"
+                        f" t_rawstd={ts['raw_std']:.4f}"
+                        f" t_entfrac={ts['ent_frac']:.4f}")
             print(msg, flush=True)
     tr.state = state
     linear = tr.perform_linear_eval()
@@ -162,6 +177,8 @@ def run_one(algo: str, epochs: int, dataset: str, eval_every: int,
     if backbone_curve:
         extra_fields["knn_backbone_curve"] = backbone_curve
         extra_fields["best_knn_backbone"] = max(k for _, k in backbone_curve)
+    if teacher_curve:
+        extra_fields["teacher_probe_curve"] = teacher_curve
     if ent_curve:
         K = getattr(tr.algorithm, "num_clusters",
                     getattr(tr.algorithm, "num_classes", None))
@@ -292,6 +309,14 @@ def main():
                  for r in results if r.get("pseudo_entropy_min") is not None]
         if notes:
             f.write("\n" + "; ".join(notes) + ".\n")
+        for r in results:
+            if r.get("teacher_probe_curve"):
+                rows = "; ".join(
+                    f"ep{e}: mi={mi} prob_std={ps} raw_std={rs} ent_frac={ef}"
+                    for e, mi, ps, rs, ef in r["teacher_probe_curve"])
+                f.write(f"\n{r['algo']} teacher-output probe (test split; "
+                        f"mi = H(mean p) − mean H(p), 0 iff the teacher is "
+                        f"sample-independent): {rows}.\n")
         f.write("\nGenerated by scripts/quality_run.py.\n")
     print("WROTE", VALIDATION, flush=True)
 

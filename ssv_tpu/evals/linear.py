@@ -37,6 +37,7 @@ def linear_evaluation(config: dict, train_data: dict, test_data: dict,
     yt = jnp.asarray(test_data["labels"], jnp.int32)
 
     n, d = x.shape
+    batch_size = min(batch_size, n)  # smoke-scale runs: n < configured batch
     steps_per_epoch = max(n // batch_size, 1)
     total_steps = epochs * steps_per_epoch
 

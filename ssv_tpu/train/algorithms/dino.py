@@ -201,3 +201,52 @@ class DINO(Algorithm):
         # diagnostic surface, same semantics as BYOL/SimSiam's
         return apply_eval(self.student.encoder, state.params["encoder"],
                           state.batch_stats.get("encoder", {}), images)
+
+    def embed_teacher(self, state, images):
+        """Raw teacher-head outputs (pre-center, pre-softmax): the probe
+        surface for the uniform-fixed-point diagnosis (VALIDATION.md,
+        shapes100-dino-1000ep)."""
+        return apply_eval(self.teacher, state.extra["teacher_params"],
+                          state.extra["teacher_batch_stats"], images)
+
+    def teacher_stats(self, state, outputs) -> dict:
+        """Mechanism scalars over raw teacher outputs [N, K] (host array).
+
+        Distinguishes "teacher variance truly pinned at zero" (absorbing
+        uniform fixed point) from "pre-transition, variance small but
+        alive" — the difference between BYOL's slow bootstrap (diag G) and
+        a self-consistent collapse. Keyed on the teacher's EFFECTIVE
+        distribution softmax((out - center) / temp_t), the exact target the
+        student distills:
+
+          * ``mi``        — H(mean_n p_n) - mean_n H(p_n): mutual information
+                            between sample identity and teacher output;
+                            exactly 0 iff the teacher is sample-independent.
+          * ``prob_std``  — cross-sample std of the probabilities, mean
+                            over the K dims.
+          * ``raw_std``   — cross-sample std of the raw head outputs
+                            (pre-center): separates "head emits constants"
+                            from "centering+softmax washes variance out".
+          * ``ent_frac``  — mean per-sample entropy / ln K (1.0 = uniform).
+        """
+        import numpy as np
+
+        epoch = int(state.step) // self.data.steps_per_epoch
+        temp = float(dino_teacher_temp(
+            epoch, lower=self.temp_t_lower, upper=self.temp_t_upper,
+            warmup_epochs=self.temp_warmup_epochs))
+        out = np.asarray(outputs, np.float64)
+        z = (out - np.asarray(state.extra["center"], np.float64)) / temp
+        z -= z.max(1, keepdims=True)
+        p = np.exp(z)
+        p /= p.sum(1, keepdims=True)
+        eps = 1e-12
+        ent = -(p * np.log(p + eps)).sum(1)
+        pm = p.mean(0)
+        ent_of_mean = float(-(pm * np.log(pm + eps)).sum())
+        return {
+            "mi": ent_of_mean - float(ent.mean()),
+            "prob_std": float(p.std(0).mean()),
+            "raw_std": float(out.std(0).mean()),
+            "ent_frac": float(ent.mean() / np.log(p.shape[1])),
+        }

@@ -165,7 +165,14 @@ class Trainer:
         if feature_fn is None:
             fn = self._embed_batch
         else:
-            key_ = ("feat", getattr(feature_fn, "__qualname__", repr(feature_fn)))
+            # keyed by def-site, not just __qualname__: two distinct lambdas
+            # share the qualname `<locals>.<lambda>` and must NOT collide,
+            # while per-epoch recreations of the SAME source lambda must
+            # still hit the cache (no re-jit every eval epoch)
+            code = getattr(feature_fn, "__code__", None)
+            key_ = ("feat", getattr(feature_fn, "__qualname__", repr(feature_fn)),
+                    getattr(code, "co_filename", None),
+                    getattr(code, "co_firstlineno", None))
             if key_ not in self._embed_cache:
                 eval_t = self.pipeline.make_eval_transform()
 

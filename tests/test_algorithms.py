@@ -130,6 +130,30 @@ def test_dino_epoch_mode_teacher_frozen_within_epoch(tmp_path):
     assert max(diffs) > 0.0  # per-epoch EMA actually moved the teacher
 
 
+def test_dino_teacher_probe_stats(tmp_path):
+    """teacher_stats (the mechanism probe for the uniform-fixed-point
+    diagnosis): mi must be ~0 for a sample-independent teacher, positive
+    for sample-dependent outputs, and ent_frac == 1 when the effective
+    distribution is exactly uniform (outputs == center)."""
+    t = make_trainer("dino", tmp_path, arch="tiny", batch_size=8)
+    algo, state = t.algorithm, t.state
+    K = algo.proj_dim
+    rng = np.random.default_rng(0)
+
+    const = np.tile(rng.normal(size=(1, K)), (32, 1))
+    s = algo.teacher_stats(state, const)
+    assert abs(s["mi"]) < 1e-9
+    assert s["prob_std"] < 1e-12 and s["raw_std"] < 1e-12
+
+    varied = rng.normal(size=(32, K))
+    s2 = algo.teacher_stats(state, varied)
+    assert s2["mi"] > 0.01 and s2["prob_std"] > 0 and s2["raw_std"] > 0
+
+    uniform = np.tile(np.asarray(state.extra["center"]), (16, 1))
+    s3 = algo.teacher_stats(state, uniform)
+    assert abs(s3["ent_frac"] - 1.0) < 1e-9 and abs(s3["mi"]) < 1e-9
+
+
 def test_dino_rejects_bad_recipe_flags(tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
