@@ -27,6 +27,9 @@ defects of the reference recipe stay available behind the faithful default):
   * ``center_init: randn`` (faithful, dino.py:68) | ``zeros`` — the paper
     registers a zero center buffer; randn init injects a spurious O(1)
     offset that the momentum-0.9 center EMA takes ~44 steps to forget.
+  * ``freeze_last_layer: 0`` (faithful — the reference has no freeze) |
+    N — the paper's cancel_gradients_last_layer: the weight-normed output
+    layer is fully frozen for the first N epochs (paper uses 1).
 """
 
 from __future__ import annotations
@@ -81,6 +84,11 @@ class DINO(Algorithm):
             raise ValueError(
                 f"center_init must be 'randn' (faithful) or 'zeros' (paper), "
                 f"got {self.center_init!r}")
+        # paper recipe (DINO utils.cancel_gradients_last_layer): the head's
+        # weight-normed output layer is fully frozen for the first N epochs
+        # so early gradients shape the backbone, not the prototype layer.
+        # 0 (faithful default — the reference has no freeze) | N epochs.
+        self.freeze_last_layer = int(config.get("freeze_last_layer", 0))
 
         mc = dict(config["data"]["multicrop_config"])
         self.global_size = tuple(mc["global_size"])
@@ -156,8 +164,19 @@ class DINO(Algorithm):
                     + 0.5 * dino_loss(t2, s1, self.temp_student, temp_t, center))
             return loss, bs
 
+        update_mask = None
+        if self.freeze_last_layer > 0:
+            freeze_steps = self.freeze_last_layer * self.data.steps_per_epoch
+            scale = jnp.where(state.step < freeze_steps, 0.0, 1.0)
+
+            def update_mask(upd):
+                fc = jax.tree_util.tree_map(lambda u: u * scale,
+                                            upd["proj"]["fc_out"])
+                return {**upd, "proj": {**upd["proj"], "fc_out": fc}}
+
         params, opt_state, loss, bstats = self.grad_step(
-            state, loss_fn, axis=axis, loss_scope="local")
+            state, loss_fn, axis=axis, loss_scope="local",
+            update_mask=update_mask)
 
         # center EMA over all teacher global outputs (dino.py:136-141,164);
         # under per-device BN the batch mean is the replica pmean of equal-

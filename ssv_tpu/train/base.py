@@ -155,9 +155,15 @@ class Algorithm:
         return step // self.data.steps_per_epoch
 
     def grad_step(self, state: TrainState, loss_fn, axis=None,
-                  loss_scope: str = "local"):
+                  loss_scope: str = "local", update_mask=None):
         """value_and_grad + optimizer update. `loss_fn(params) -> (loss, aux)`
         where aux carries at least the updated batch_stats.
+
+        `update_mask(updates) -> updates` runs on the OPTIMIZER updates (not
+        the raw grads) so a masked subtree is truly frozen — zeroing grads
+        alone would still let adamw's decoupled weight decay move it (DINO's
+        first-epoch last-layer freeze sets torch grads to None, which skips
+        the whole update).
 
         Under shard_map (`axis` set) gradients are reduced across replicas
         with the collective matching how the loss was built:
@@ -175,6 +181,8 @@ class Algorithm:
             loss = lax.pmean(loss, axis)
         import optax
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        if update_mask is not None:
+            updates = update_mask(updates)
         params = optax.apply_updates(state.params, updates)
         return params, opt_state, loss, aux
 

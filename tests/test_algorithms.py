@@ -154,6 +154,38 @@ def test_dino_teacher_probe_stats(tmp_path):
     assert abs(s3["ent_frac"] - 1.0) < 1e-9 and abs(s3["mi"]) < 1e-9
 
 
+def test_dino_freeze_last_layer(tmp_path):
+    """`freeze_last_layer: 1` (paper's cancel_gradients_last_layer): the
+    head's weight-normed fc_out must not move at all during epoch 1 —
+    including adamw weight decay — while the rest of the student trains;
+    from epoch 2 (step >= steps_per_epoch) it must move."""
+    t = make_trainer("dino", tmp_path, arch="tiny", batch_size=8, epochs=2,
+                     n_train=16, cfg_extra={"freeze_last_layer": 1})
+    images, labels = t._train_arrays
+    state = t.state
+    spe = t.algorithm.data.steps_per_epoch
+    fc0 = jax.tree_util.tree_map(np.asarray, state.params["proj"]["fc_out"])
+    enc0 = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, state.params["encoder"]))
+    for s in range(spe):  # all of epoch 1
+        idx = jnp.arange(8, dtype=jnp.int32)
+        state, _ = t._step_fn(state, images, labels, idx, jax.random.PRNGKey(s))
+    for a, b in zip(jax.tree_util.tree_leaves(fc0),
+                    jax.tree_util.tree_leaves(state.params["proj"]["fc_out"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    enc1 = jax.tree_util.tree_leaves(state.params["encoder"])
+    assert max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+               for a, b in zip(enc0, enc1)) > 0  # backbone trained
+    # epoch 2: the freeze lifts
+    state, _ = t._step_fn(state, images, labels,
+                          jnp.arange(8, dtype=jnp.int32), jax.random.PRNGKey(99))
+    moved = max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                for a, b in zip(jax.tree_util.tree_leaves(fc0),
+                                jax.tree_util.tree_leaves(
+                                    state.params["proj"]["fc_out"])))
+    assert moved > 0
+
+
 def test_dino_rejects_bad_recipe_flags(tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
