@@ -114,6 +114,7 @@ def run_one(algo: str, epochs: int, dataset: str, eval_every: int,
         state = tr.algorithm.pre_train(tr.state, tr)
     knn_curve, ips_hist, ent_curve, backbone_curve = [], [], [], []
     teacher_curve = []  # DINO mechanism probe (VERDICT r4 weak #1)
+    nan_at = None
     # decide the backbone probe ONCE (advisor r3): default-on for the
     # asymmetric-head family, and only if the algorithm overrides the hook
     from ssv_tpu.train.base import Algorithm
@@ -141,6 +142,17 @@ def run_one(algo: str, epochs: int, dataset: str, eval_every: int,
         state = tr._post_epoch_fn(state, jnp.asarray(e))
         loss = float(np.asarray(metrics["loss"]).mean())
         ips_hist.append(idx_mat.size / (time.time() - te))
+        if not np.isfinite(loss):
+            # terminal: params are NaN/inf — every later epoch is garbage
+            # (measured: shapes100-dino-step-ema-1000ep NaN'd between ep
+            # 200-300 and spent 700 epochs at chance). Record and stop.
+            tr.state = state
+            knn = tr.knn_validate()
+            knn_curve.append((e, round(knn, 4)))
+            nan_at = e
+            print(f"[{algo}/{dataset}] epoch {e}: loss={loss} — NaN state "
+                  f"is terminal, aborting (knn={knn:.4f})", flush=True)
+            break
         if e % eval_every == 0 or e == epochs:
             tr.state = state
             tr.save_checkpoint("latest", epoch=e)
@@ -189,6 +201,8 @@ def run_one(algo: str, epochs: int, dataset: str, eval_every: int,
         })
     if start_epoch > 1:
         extra_fields["resumed_at"] = start_epoch
+    if nan_at is not None:
+        extra_fields["nan_at"] = nan_at
     return {
         **extra_fields,
         "algo": algo, "dataset": dataset, "resolved_dataset": resolved,
@@ -281,6 +295,9 @@ def main():
                 curve = " ".join(f"{e}:{k}" for e, k in r["knn_curve"])
                 if r.get("resumed_at"):
                     curve = f"(resumed @{r['resumed_at']}) " + curve
+                if r.get("nan_at"):
+                    curve += (f" — **loss NaN by epoch {r['nan_at']}, "
+                              f"aborted (terminal state)**")
                 bk = r.get("best_knn_backbone")
                 f.write(f"| {r['algo']} | {r['batch']} | {curve} | "
                         f"{r['best_knn']} | {bk if bk is not None else '—'} | "
